@@ -1,0 +1,68 @@
+"""ctypes bindings to the native C++ encoder library (native/fastimg.cpp).
+
+The reference's encoder is a native component (ravif/rav1e, src/lib.rs:12-20);
+ours is a C++ shared library wrapping libpng with multi-row zlib pipelining.
+Falls back cleanly (``available() == False``) when the library has not been
+built — Pillow then handles encoding.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(here, "native", "libfastimg.so")
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _lib_path()
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.fastimg_write_png.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.fastimg_write_png.restype = ctypes.c_int
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def write_png(img: np.ndarray, path: str, compression: int = 6) -> None:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native encoder not built")
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    assert c == 3
+    rc = lib.fastimg_write_png(
+        path.encode(),
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w,
+        h,
+        compression,
+    )
+    if rc != 0:
+        raise RuntimeError(f"native PNG encode failed (rc={rc})")

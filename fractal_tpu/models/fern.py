@@ -1,0 +1,200 @@
+"""Barnsley fern — batched chaos game (IFS), TPU-native.
+
+Reference semantics (src/lib.rs:418-463 ``fern`` + 392-408 ``subtract_pixel``
++ 271-319 replicate-and-reduce):
+
+  * start point (pos.re·W, pos.im·H) (src/lib.rs:421-422);
+  * empirical geometry: effective_scale_x = 65·scale.re·H·0.006,
+    effective_scale_y = 37·scale.im·H·0.006, x-offset W/2, y formula
+    ``H − ((y + (pos.im − 5.0) − 0.5)·esy + H/2)`` (src/lib.rs:425-437);
+  * affine branches with Wikipedia coefficients chosen by a uniform draw at
+    thresholds .01/.86/.93 (src/lib.rs:442-461);
+  * each *hit* multiplies the pixel by the per-channel darkening factor
+    f_c = 1 / (((1/(v_c/255)) − 1)·weight + 1), truncating to u8 every time
+    (src/lib.rs:399-406);
+  * the N-thread version renders N independent ferns with iterations/N each
+    and combines them with per-pixel saturating adds (src/lib.rs:271-319).
+
+TPU re-design: the walk is inherently sequential per walker, so — exactly
+like the reference scales by replication — we run K independent walkers
+(vectorized over the VPU) for iterations/K steps each, accumulate a hit-count
+histogram with scatter-add, and apply the darkening as a closed-form
+post-pass: because every pixel starts at the same background value and the
+per-hit map p → trunc(p·f) is a fixed scalar map, the value after n hits is a
+precomputed decay curve indexed by n (exact, including the per-hit u8
+truncation).  The curve reaches its fixed point in < 256 steps since u8 is
+monotonically decreasing under f < 1.
+
+Unlike the reference's unseeded ``SmallRng::from_entropy()``
+(src/lib.rs:428), the walk uses counter-based ``jax.random`` keys — a fixed
+``Scene.seed`` reproduces bit-identical ferns.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fractal_tpu.config import Scene
+
+# Affine maps (a, b, c, d, e, f): x' = a·x + b·y + e ; y' = c·x + d·y + f
+# Thresholds on the uniform draw r: branch 0 if r < .01, 1 if < .86,
+# 2 if < .93, else 3 (src/lib.rs:445-461, Wikipedia coefficients).
+_FERN_COEFFS = np.array(
+    [
+        [0.00, 0.00, 0.00, 0.16, 0.0, 0.00],
+        [0.85, 0.04, -0.04, 0.85, 0.0, 1.60],
+        [0.20, -0.26, 0.23, 0.22, 0.0, 1.60],
+        [-0.15, 0.28, 0.26, 0.24, 0.0, 0.44],
+    ],
+    dtype=np.float32,
+)
+
+DEFAULT_WALKERS = 8192
+BURN_IN = 16  # steps walked but not plotted while walkers settle onto the
+#               attractor; the reference's single walker plots its (tiny)
+#               transient, but K parallel walkers would amplify it K-fold.
+
+
+def darkening_curve(background, primary, weight: float) -> np.ndarray:
+    """Pixel value after n hits, for n = 0..fixed-point, shape (L, 3) uint8.
+
+    Exact n-fold composition of the reference's per-hit darkening
+    (src/lib.rs:399-406): p ← trunc(p · f_c) with Rust `as u8` saturation.
+    """
+    bg = np.array(background, dtype=np.float64)
+    v = np.array(primary, dtype=np.float64)
+    factors = np.empty(3)
+    for c in range(3):
+        if v[c] <= 0.0:
+            factors[c] = 0.0  # 1/(v/255) → ∞ ⇒ multiply by 0
+        else:
+            factors[c] = 1.0 / (((1.0 / (v[c] / 255.0)) - 1.0) * weight + 1.0)
+
+    curve = [np.array([int(b) for b in bg], dtype=np.uint8)]
+    p = curve[0].astype(np.float64)
+    for _ in range(256):
+        q = p * factors
+        q = np.where(np.isnan(q), 0.0, q)
+        q = np.clip(np.trunc(q), 0.0, 255.0)
+        if np.all(q == p):
+            break
+        curve.append(q.astype(np.uint8))
+        p = q
+    return np.stack(curve)  # (L, 3)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "walkers", "steps", "replicas")
+)
+def _fern_hits(
+    scene: Scene,
+    width: int,
+    height: int,
+    walkers: int,
+    steps: int,
+    replicas: int,
+    seed,
+):
+    """Run the chaos game; return per-replica hit-count grids
+    (replicas, H, W) int32."""
+    f32 = jnp.float32
+    w_f = jnp.asarray(float(width), f32)
+    h_f = jnp.asarray(float(height), f32)
+    pos_re = jnp.asarray(scene.pos[0], f32)
+    pos_im = jnp.asarray(scene.pos[1], f32)
+    esx = 65.0 * jnp.asarray(scene.scale[0], f32) * h_f * 0.006
+    esy = 37.0 * jnp.asarray(scene.scale[1], f32) * h_f * 0.006
+
+    k = walkers
+    x0 = jnp.full((k,), pos_re * w_f, f32)
+    y0 = jnp.full((k,), pos_im * h_f, f32)
+    coeffs = jnp.asarray(_FERN_COEFFS)
+    key0 = jax.random.PRNGKey(seed)
+
+    def walk_step(x, y, key):
+        key, sub = jax.random.split(key)
+        r = jax.random.uniform(sub, (k,), f32)
+        b = (
+            (r >= 0.01).astype(jnp.int32)
+            + (r >= 0.86).astype(jnp.int32)
+            + (r >= 0.93).astype(jnp.int32)
+        )
+        cf = jnp.take(coeffs, b, axis=0)  # (k, 6)
+        nx = cf[:, 0] * x + cf[:, 1] * y + cf[:, 4]
+        ny = cf[:, 2] * x + cf[:, 3] * y + cf[:, 5]
+        return nx, ny, key
+
+    def plot_indices(x, y):
+        # Pixel mapping (src/lib.rs:433-437) with Rust `as usize` cast
+        # semantics: truncate toward zero, saturate negatives to 0.
+        px_f = (x - pos_re) * esx + w_f / 2.0
+        py_f = h_f - ((y + (pos_im - 5.0) - 0.5) * esy + h_f / 2.0)
+        px = jnp.maximum(jnp.trunc(px_f), 0.0).astype(jnp.int32)
+        py = jnp.maximum(jnp.trunc(py_f), 0.0).astype(jnp.int32)
+        valid = (px < width) & (py < height)
+        flat = py * width + px
+        return jnp.where(valid, flat, width * height)  # OOB index → dropped
+
+    def scan_body(carry, _):
+        x, y, key, hist = carry
+        idx = plot_indices(x, y)  # plot BEFORE the update (src/lib.rs:432-441)
+        hist = hist.at[idx].add(1, mode="drop")
+        x, y, key = walk_step(x, y, key)
+        return (x, y, key, hist), None
+
+    def burn_body(carry, _):
+        x, y, key, hist = carry
+        x, y, key = walk_step(x, y, key)
+        return (x, y, key, hist), None
+
+    def one_replica(rep_idx):
+        key = jax.random.fold_in(key0, rep_idx)
+        hist = jnp.zeros((width * height,), jnp.int32)
+        carry = (x0, y0, key, hist)
+        carry, _ = jax.lax.scan(burn_body, carry, None, length=BURN_IN)
+        carry, _ = jax.lax.scan(scan_body, carry, None, length=steps)
+        return carry[3].reshape(height, width)
+
+    return jax.vmap(one_replica)(jnp.arange(replicas))
+
+
+def apply_darkening(hits, curve: np.ndarray):
+    """hits (…, H, W) int32 → image (…, H, W, 3) uint8 via the decay curve."""
+    lut = jnp.asarray(curve)  # (L, 3)
+    idx = jnp.minimum(hits, lut.shape[0] - 1)
+    return jnp.take(lut, idx, axis=0)
+
+
+def saturating_sum_u8(imgs):
+    """Per-pixel saturating add across the leading axis — the reference's
+    ``combine_images`` all-reduce (src/lib.rs:272-318)."""
+    total = jnp.sum(imgs.astype(jnp.uint16), axis=0)
+    return jnp.minimum(total, 255).astype(jnp.uint8)
+
+
+def render_fern(scene: Scene, walkers: int = DEFAULT_WALKERS):
+    """Full fern render: chaos game → hit histogram → darkening curve →
+    (optional) replica saturating-sum."""
+    replicas = max(1, scene.fern_replicas)
+    total = max(1, scene.iterations)
+    per_replica = max(1, total // replicas)
+    k = int(min(walkers, per_replica))
+    steps = max(1, per_replica // k)
+
+    hits = _fern_hits(
+        scene, scene.width, scene.height, k, steps, replicas, scene.seed
+    )
+    curve = darkening_curve(
+        scene.secondary_color.as_tuple(),
+        scene.primary_color.as_tuple(),
+        float(scene.color_weight),
+    )
+    if replicas == 1:
+        return apply_darkening(hits[0], curve)
+    imgs = apply_darkening(hits, curve)  # (R, H, W, 3)
+    return saturating_sum_u8(imgs)

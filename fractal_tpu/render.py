@@ -1,0 +1,174 @@
+"""Render driver — the L2 orchestration layer (reference ``get_image``,
+src/lib.rs:253-321, re-designed TPU-first).
+
+Where the reference fans rows out over rayon threads, here the whole image is
+one jitted XLA program (or one Pallas kernel): the "thread fan-out" is the
+VPU's 8×128 lanes plus, for multi-chip runs, shard_map tiling over the device
+mesh (fractal_tpu.parallel).
+
+Pipeline: viewport transform → escape iteration → coloring epilogue →
+(optional) supersample downsample.  The fern goes through the chaos-game
+path in models/fern.py.
+
+Precision policy ("auto"): picks the cheapest representation that still
+resolves one pixel, by pixel spacing 1/(height·scale):
+  * f32     spacing > ~2e-5   (f32 has 24-bit mantissa; |c| ~ O(1))
+  * f64     down to ~1e-13    (emulated on TPU but correct)
+  * perturb below (mandelbrot/julia): f32 delta orbits against a
+    high-precision reference orbit — the deep-zoom decomposition the
+    reference's GPU branch was missing (reference README.md:20-22).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fractal_tpu.config import Scene
+from fractal_tpu.models.rules import get_rule
+from fractal_tpu.ops import coloring, viewport
+from fractal_tpu.ops.escape_jnp import iterate
+
+F32_SPACING_LIMIT = 2e-5   # conservative: ~2^7 ulps of headroom at |c|~1
+F64_SPACING_LIMIT = 1e-13
+PERTURB_SPACING_LIMIT = 5e-7  # prefer perturbation once f32 is unsafe
+
+
+def _ensure_x64():
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+
+
+def resolve_precision(scene: Scene) -> str:
+    """Resolve 'auto' to a concrete precision for this scene (static).
+
+    Platform-aware: TPUs have no hardware f64, so deep views pick the
+    double-single Pallas path (ds32, ~2⁻⁴⁸) or perturbation; on CPU the
+    mid-depth default stays f64 for bit-parity with the reference.
+    """
+    if scene.precision != "auto":
+        if scene.precision in ("f64", "dd64"):
+            _ensure_x64()
+        return scene.precision
+    spacing = scene.pixel_spacing / scene.supersample
+    if spacing > F32_SPACING_LIMIT:
+        return "f32"
+    if scene.algo in ("mandelbrot", "julia") and spacing <= PERTURB_SPACING_LIMIT:
+        return "perturb"
+    if jax.default_backend() != "cpu":
+        return "ds32"
+    _ensure_x64()
+    return "f64"
+
+
+def _grid_dtype(precision: str):
+    if precision in ("f64", "dd64"):
+        _ensure_x64()
+        return jnp.float64
+    return jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Escape-time path
+# ---------------------------------------------------------------------------
+
+
+def _color_and_downsample(scene: Scene, zr, zi, cnt):
+    img_f = coloring.color_escape_result(
+        zr,
+        zi,
+        cnt,
+        iterations=scene.iterations,
+        stable_limit=scene.stable_limit,
+        exposure=scene.exposure,
+        primary_color=scene.primary_color.as_tuple(),
+        secondary_color=scene.secondary_color.as_tuple(),
+        inside=scene.inside,
+        smooth=scene.smooth,
+        as_float=True,
+    )
+    return coloring.downsample_box(img_f, scene.supersample)
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _render_escape_jit(scene: Scene, precision: str):
+    ss = scene.supersample
+    h, w = scene.height * ss, scene.width * ss
+    # Supersampling subdivides each pixel: the viewport transform divides by
+    # height, so using the scaled height keeps the same view window.
+    dtype = _grid_dtype(precision)
+
+    cr, ci = viewport.pixel_grid(w, h, scene.pos, scene.scale, dtype=dtype)
+    rule = get_rule(scene.algo, scene.power)
+    if scene.algo == "julia":
+        c_r = jnp.asarray(scene.julia_set[0], dtype)
+        c_i = jnp.asarray(scene.julia_set[1], dtype)
+        zr, zi, cnt = iterate(cr, ci, c_r, c_i, scene.iterations, scene.limit, rule)
+    else:
+        # Mandelbrot-family: z starts at the pixel coordinate and c == z0
+        # (calc/src/lib.rs:208-212 — note: NOT the z0=0 convention).
+        zr, zi, cnt = iterate(cr, ci, cr, ci, scene.iterations, scene.limit, rule)
+    return _color_and_downsample(scene, zr, zi, cnt)
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "interpret"), donate_argnums=())
+def _render_escape_pallas_jit(scene: Scene, params, precision: str, interpret: bool):
+    from fractal_tpu.ops.escape_pallas import iterate_params
+
+    ss = scene.supersample
+    h, w = scene.height * ss, scene.width * ss
+    zr, zi, cnt = iterate_params(
+        params,
+        algo=scene.algo,
+        power=scene.power,
+        iterations=scene.iterations,
+        height=h,
+        width=w,
+        precision=precision,
+        interpret=interpret,
+    )
+    return _color_and_downsample(scene, zr, zi, cnt)
+
+
+def _render_escape(scene: Scene, backend: str = "auto"):
+    precision = resolve_precision(scene)
+    if precision == "perturb":
+        from fractal_tpu.ops.perturb import render_perturb
+
+        return render_perturb(scene)
+    if backend == "auto":
+        on_tpu = jax.default_backend() not in ("cpu",)
+        backend = "pallas" if (on_tpu and precision in ("f32", "ds32")) else "jnp"
+    if backend == "pallas" or precision == "ds32":
+        from fractal_tpu.ops.escape_pallas import scene_params
+
+        # Exact host-side viewport constants — needs concrete pos/scale, so
+        # this runs outside jit; everything traced happens in the jit above.
+        params = scene_params(scene)
+        interpret = jax.default_backend() == "cpu"
+        return _render_escape_pallas_jit(scene, params, precision, interpret)
+    return _render_escape_jit(scene, precision)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def render_u8(scene: Scene, backend: str = "auto"):
+    """Render a scene to a device array of shape (height, width, 3) uint8."""
+    if scene.algo == "fern":
+        from fractal_tpu.models.fern import render_fern
+
+        return render_fern(scene)
+    return _render_escape(scene, backend=backend)
+
+
+def render(scene: Scene, backend: str = "auto") -> np.ndarray:
+    """Render to a host numpy array (H, W, 3) uint8 — the ``get_image``
+    equivalent (src/lib.rs:253)."""
+    return np.asarray(jax.device_get(render_u8(scene, backend=backend)))

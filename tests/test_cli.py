@@ -1,0 +1,125 @@
+"""CLI parity tests: every invocation from the reference's examples.md must
+parse to the correct Scene (src/lib.rs:31-234 flag surface)."""
+
+import pytest
+
+from fractal_tpu.cli import parse_options
+from fractal_tpu.config import RGB
+
+
+def test_defaults_no_arguments():  # "Golden" example
+    o = parse_options([])
+    s = o.scene
+    assert (s.width, s.height) == (750, 500)
+    assert s.algo == "mandelbrot"
+    assert s.iterations == 50
+    assert s.limit == 65536.0
+    assert s.stable_limit == 2.0
+    assert s.pos == (-0.6, 0.0)           # CLI default -x −0.6
+    assert s.scale == (0.4, 0.4)
+    assert s.exposure == 5.0              # CLI tier overrides Config's 2.0
+    assert s.inside and s.smooth
+    assert o.filename == "output" and not o.open and not o.gui
+
+
+def test_julia_pos_x_defaults_to_zero():
+    # clap default_value_if("algo", "julia", "0") — src/lib.rs:69-71
+    o = parse_options("-a julia --julia-real -0.8 --julia-imaginary 0.156".split())
+    assert o.scene.pos == (0.0, 0.0)
+    assert o.scene.julia_set == (-0.8, 0.156)
+    # explicit -x still wins
+    o2 = parse_options(
+        "-a julia --julia-real -0.2256 --julia-imaginary 0.65 "
+        "-x 0.29449 -y -0.40460".split()
+    )
+    assert o2.scene.pos == (0.29449, -0.4046)
+
+
+def test_julia_requires_c():
+    with pytest.raises(SystemExit):
+        parse_options(["-a", "julia"])
+
+
+def test_examples_md_recipes():
+    # "-a julia --julia-real -0.8 --julia-imaginary 0.156 -i 2000 -s 0.6
+    #  -e 30 2000 1000"
+    o = parse_options(
+        "-a julia --julia-real -0.8 --julia-imaginary 0.156 -i 2000 "
+        "-s 0.6 -e 30 2000 1000".split()
+    )
+    s = o.scene
+    assert (s.width, s.height) == (2000, 1000)
+    assert s.iterations == 2000 and s.exposure == 30.0
+    assert s.scale == (0.6, 0.6)
+
+    # classic: "-d 3000 2000"
+    o = parse_options("-d 3000 2000".split())
+    assert not o.scene.inside
+    assert (o.scene.width, o.scene.height) == (3000, 2000)
+
+    # deepest zoom recipe (examples.md:29)
+    o = parse_options(
+        "-s 500000 -x -.7436447860 -y .1318252536 -i 4000 -d -e 5 "
+        "4000 2000".split()
+    )
+    s = o.scene
+    assert s.scale == (500000.0, 500000.0)
+    assert s.pos == (-0.7436447860, 0.1318252536)
+    assert s.iterations == 4000 and not s.inside
+
+    # fern: "-a fern 1000 1000"
+    o = parse_options("-a fern 1000 1000".split())
+    assert o.scene.algo == "fern"
+    assert o.scene.iterations == 10_000_000
+    assert o.scene.primary_color == RGB(4, 3, 100)
+
+
+def test_scale_group_conflicts():
+    with pytest.raises(SystemExit):
+        parse_options("--scale-x 2 --scale-y 3".split())
+    with pytest.raises(SystemExit):
+        parse_options("-s 2 --scale-x 3".split())
+    o = parse_options("--scale-x 2".split())
+    assert o.scene.scale == (2.0, 0.4)    # other axis falls back to -s default
+    o = parse_options("--scale-y 7".split())
+    assert o.scene.scale == (0.4, 7.0)
+
+
+def test_hex_colors_compat_swap():
+    o = parse_options("--primary-color 102030".split())
+    assert o.scene.primary_color == RGB(0x10, 0x30, 0x20)
+    o = parse_options("--primary-color 102030 --true-colors".split())
+    assert o.scene.primary_color == RGB(0x10, 0x20, 0x30)
+
+
+def test_output_suffix_rule():
+    from fractal_tpu.io.image_out import output_filename
+
+    # src/lib.rs:192-195: suffix appended unconditionally
+    assert output_filename("output") == "output.avif"
+    assert output_filename("a.avif") == "a.avif.avif"
+    assert output_filename("x", "png") == "x.png"
+
+
+def test_extensions_parse():
+    o = parse_options(
+        "-a multibrot --power 5 --supersample 2 --precision f32 "
+        "--format png --seed 3".split()
+    )
+    s = o.scene
+    assert s.algo == "multibrot" and s.power == 5
+    assert s.supersample == 2 and s.precision == "f32" and s.seed == 3
+    assert o.fmt == "png"
+
+
+def test_end_to_end_main_writes_png(tmp_path):
+    from fractal_tpu.__main__ import main
+
+    out = tmp_path / "img"
+    rc = main(["32", "24", "-i", "20", "--format", "png", "-o", str(out)])
+    assert rc == 0
+    assert (tmp_path / "img.png").exists()
+    from PIL import Image
+
+    im = Image.open(tmp_path / "img.png")
+    assert im.size == (32, 24)
