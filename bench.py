@@ -1,0 +1,127 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline config (BASELINE.md): 3000×3000 Mandelbrot at 1,000,000× zoom,
+max-iter 4000 (the reference's deepest documented recipe, examples.md:29;
+its README claims ~1 s for this on an all-core laptop CPU — ~9 Mpixel/s).
+
+Measured on whatever jax.default_backend() is (the driver runs this on one
+real TPU chip).  Compile excluded (one warmup), p50 of repeated runs.
+
+Extra configs (BASELINE.json) can be benchmarked with --all.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_SECONDS = 1.0  # README.md:9-11: ~1 s on CPU for this render
+
+
+def headline_scene():
+    from fractal_tpu.config import Scene
+
+    return Scene(
+        algo="mandelbrot",
+        width=3000,
+        height=3000,
+        iterations=4000,
+        pos=(-0.7436447860, 0.1318252536),
+        scale=(1e6, 1e6),
+        exposure=5.0,
+        inside=False,
+    )
+
+
+def bench_render(scene, repeats: int = 5, backend: str = "auto"):
+    from fractal_tpu.render import render_u8
+
+    def fence(img):
+        # Through the axon tunnel block_until_ready() can return before the
+        # execution drains; fetching a device-side reduction to the host is
+        # the reliable fence (1-element transfer, negligible vs the render).
+        return float(jnp.sum(img, dtype=jnp.int32)[None][0])
+
+    # warmup / compile (render + fence programs)
+    fence(render_u8(scene, backend=backend))
+    times = []
+    for i in range(repeats):
+        # Perturb a traced leaf per repeat (no recompile — exposure is a
+        # dynamic pytree field) so the runtime cannot dedupe/cache identical
+        # dispatches; observed on the axon tunnel, which otherwise returns
+        # repeat results in <1 ms.
+        sc = scene.replace(exposure=scene.exposure * (1.0 + 1e-9 * (i + 1)))
+        t0 = time.perf_counter()
+        fence(render_u8(sc, backend=backend))
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times), times
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--all", action="store_true",
+                    help="also run the secondary configs (human-readable)")
+    args = ap.parse_args()
+
+    scene = headline_scene()
+    p50, times = bench_render(scene, args.repeats, args.backend)
+
+    mpix = scene.width * scene.height / p50 / 1e6
+    from fractal_tpu.render import render_u8, resolve_precision  # noqa: F401
+
+    result = {
+        "metric": "mandelbrot 3000x3000 @1e6x zoom, 4000 max-iter, render time",
+        "value": round(p50 * 1e3, 2),
+        "unit": "ms",
+        "vs_baseline": round(REFERENCE_SECONDS / p50, 2),
+        "details": {
+            "mpixels_per_s": round(mpix, 1),
+            "backend": jax.default_backend(),
+            "precision": resolve_precision(scene),
+            "all_times_ms": [round(t * 1e3, 1) for t in times],
+        },
+    }
+    print(json.dumps(result))
+
+    if args.all:
+        import sys
+
+        from fractal_tpu.config import Scene, scene_defaults
+
+        extras = {
+            "julia_1080p_f32": Scene(
+                algo="julia", width=1920, height=1080, iterations=300,
+                julia_set=(-0.8, 0.156), scale=(0.4, 0.4), pos=(0.0, 0.0),
+            ),
+            "mandel_4k_ss2": Scene(
+                width=3840, height=2160, iterations=600, supersample=2,
+                pos=(-0.743643, 0.131825), scale=(5000.0, 5000.0),
+            ),
+            "burning_ship_2k": Scene(
+                algo="burningship", width=2000, height=2000, iterations=500,
+                pos=(-0.45, -0.5), scale=(0.8, 0.8),
+            ),
+            "fern_100M": scene_defaults("fern").replace(
+                width=2000, height=2000, iterations=100_000_000,
+            ),
+        }
+        for name, sc in extras.items():
+            try:
+                p50e, _ = bench_render(sc, max(2, args.repeats // 2), args.backend)
+                mp = sc.width * sc.height / p50e / 1e6
+                print(f"# {name}: {p50e*1e3:.1f} ms ({mp:.0f} Mpix/s)",
+                      file=sys.stderr)
+            except Exception as e:  # keep the harness alive per-config
+                print(f"# {name}: FAILED {e}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -292,7 +292,11 @@ def _build_kernel(algo: str, power: int, julia: bool, iterations: int,
         x0 = tj * tile_w
         yy = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) + y0).astype(f32)
         xx = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) + x0).astype(f32)
-        P = [params_ref[i] for i in range(14)]
+        P = [params_ref[i] for i in range(16)]
+        # Row interleave (multi-chip spatial DP): local row r maps to global
+        # row r·stride + offset.  Integer-valued f32s < 2^24 — exact, so the
+        # sharded render is bit-identical to single-device.
+        yy = yy * P[14] + P[15]
         zr, zi, cnt = _iterate_tile(
             rep, rule, is_ds, julia, iterations, chunk, xx, yy, P
         )
@@ -313,7 +317,8 @@ def iterate_whole_jnp(params, *, algo: str, power: int, iterations: int,
     f32 = jnp.float32
     yy = jax.lax.broadcasted_iota(f32, (height, width), 0)
     xx = jax.lax.broadcasted_iota(f32, (height, width), 1)
-    P = [params[i] for i in range(14)]
+    P = [params[i] for i in range(16)]
+    yy = yy * P[14] + P[15]  # global-row map for sharded stripes (see kernel)
     return _iterate_tile(
         rep, rule, is_ds, algo == "julia", iterations, chunk, xx, yy, P
     )
@@ -375,12 +380,15 @@ def iterate_params(
 
 
 def scene_params(scene, height: int = None, width: int = None) -> jnp.ndarray:
-    """Host-side (concrete Scene) → the f32[14] scalar block the kernel
+    """Host-side (concrete Scene) → the f32[16] scalar block the kernel
     consumes from SMEM.  Layout:
       [0:8]   viewport affine dd pairs (A_re, C_re, A_im, C_im)
       [8]     limit²  (escape threshold on squared distance, calc:246-251)
       [9]     spare
       [10:14] julia c as dd pairs (re_hi, re_lo, im_hi, im_lo)
+      [14:16] global-row map (stride, offset): device-local row r is global
+              row r·stride + offset — identity (1, 0) for single-device,
+              (n_devices, device_index) for row-interleaved sharding.
     """
     ss = scene.supersample
     height = height if height is not None else scene.height * ss
@@ -392,7 +400,7 @@ def scene_params(scene, height: int = None, width: int = None) -> jnp.ndarray:
     limit_sq = np.float32(float(scene.limit)) ** 2
     return jnp.asarray(
         [Ar[0], Ar[1], Cr[0], Cr[1], Ai[0], Ai[1], Ci[0], Ci[1],
-         limit_sq, 0.0, jr[0], jr[1], ji[0], ji[1]],
+         limit_sq, 0.0, jr[0], jr[1], ji[0], ji[1], 1.0, 0.0],
         jnp.float32,
     )
 

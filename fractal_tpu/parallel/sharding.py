@@ -1,0 +1,198 @@
+"""Multi-chip rendering: shard_map over a device mesh.
+
+TPU-native equivalent of the reference's two parallel strategies
+(SURVEY.md §2 C7/C9):
+
+* **Escape-time spatial DP** — the reference fans image *rows* out over
+  rayon threads (src/lib.rs:253-270).  Here rows are **round-robin
+  interleaved** over a 1-D device mesh: device d computes global rows
+  d, d+N, d+2N, …  Interleaving (vs contiguous blocks) is the load
+  balancer: escape-time cost varies wildly across the image (interior
+  pixels burn the full budget, exterior escape in a few steps), and
+  adjacent rows cost alike, so striding equalizes per-device work the
+  same way rayon's work-stealing equalized per-thread work.  Each device
+  computes its own stripe's coordinates from its mesh position — zero
+  communication; the only "collective" is the output layout epilogue.
+
+* **Fern ensemble DP** — the reference renders N full replicas with
+  iterations/N each and pairwise-reduces with saturating adds
+  (src/lib.rs:271-319).  Its reduce is literally an all-reduce: here each
+  device walks its own seeded replica set and a single ``jax.lax.psum``
+  over the mesh combines hit-count grids over ICI.
+
+Works identically on a real TPU slice and on the CPU backend with
+``--xla_force_host_platform_device_count=N`` (how tests and the driver's
+multi-chip dry-run exercise it).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from fractal_tpu.config import Scene
+from fractal_tpu.ops import coloring
+from fractal_tpu.ops.escape_pallas import iterate_params, scene_params
+
+AXIS = "rows"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D mesh over the first n devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (AXIS,))
+
+
+def _pad_rows(h: int, n: int) -> int:
+    return -(-h // n) * n
+
+
+# ---------------------------------------------------------------------------
+# Escape-time: row-interleaved spatial DP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("precision", "use_pallas", "mesh")
+)
+def _render_escape_sharded_jit(scene: Scene, params, precision: str,
+                               use_pallas: bool, mesh: Mesh):
+    n = mesh.shape[AXIS]
+    ss = scene.supersample
+    h, w = scene.height * ss, scene.width * ss
+    hp = _pad_rows(h, n)
+    rows_local = hp // n
+
+    def local_stripe(params):
+        # Device d owns global rows {r·n + d}.  The kernel maps local row r
+        # to global row r·stride + offset via params[14:16] — integer f32s,
+        # exact, so the sharded render is bit-identical to single-device at
+        # every precision (no affine re-rounding).
+        d = jax.lax.axis_index(AXIS).astype(jnp.float32)
+        p_local = params.at[14].set(jnp.float32(n)).at[15].set(d)
+        zr, zi, cnt = iterate_params(
+            p_local,
+            algo=scene.algo,
+            power=scene.power,
+            iterations=scene.iterations,
+            precision=precision,
+            height=rows_local,
+            width=w,
+            interpret=not use_pallas,
+        )
+        img = coloring.color_escape_result(
+            zr, zi, cnt,
+            iterations=scene.iterations,
+            stable_limit=scene.stable_limit,
+            exposure=scene.exposure,
+            primary_color=scene.primary_color.as_tuple(),
+            secondary_color=scene.secondary_color.as_tuple(),
+            inside=scene.inside,
+            smooth=scene.smooth,
+            as_float=True,
+        )
+        return img
+
+    stripes = shard_map(
+        local_stripe,
+        mesh=mesh,
+        in_specs=P(),
+        out_specs=P(AXIS),
+        check_vma=False,
+    )(params)
+    # De-interleave: output blocks are stacked per device (device-major);
+    # global row r·n + d lives at block[d, r] ⇒ (n, rows, W, 3) → transpose.
+    img = (
+        stripes.reshape(n, rows_local, w, 3)
+        .transpose(1, 0, 2, 3)
+        .reshape(hp, w, 3)[:h]
+    )
+    return coloring.downsample_box(img, ss)
+
+
+def render_escape_sharded(scene: Scene, mesh: Optional[Mesh] = None,
+                          precision: Optional[str] = None):
+    """Render an escape-time scene across a device mesh.  Returns the
+    (height, width, 3) uint8 image (replicated on the host)."""
+    from fractal_tpu.render import resolve_precision
+
+    mesh = mesh if mesh is not None else make_mesh()
+    precision = precision or resolve_precision(scene)
+    if precision == "perturb":
+        precision = "ds32"  # sharded perturbation not wired yet; ds32 is exact to 2^-48
+    if precision not in ("f32", "ds32"):
+        precision = "f32" if precision == "f32" else "ds32"
+    use_pallas = jax.default_backend() not in ("cpu",)
+    params = scene_params(scene)
+    return _render_escape_sharded_jit(scene, params, precision, use_pallas, mesh)
+
+
+# ---------------------------------------------------------------------------
+# Fern: ensemble DP with a psum all-reduce
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("walkers", "steps", "mesh", "compat_replicas"),
+)
+def _render_fern_sharded_jit(scene: Scene, walkers: int, steps: int,
+                             mesh: Mesh, compat_replicas: bool, curve):
+    from fractal_tpu.models.fern import _fern_hits
+
+    n = mesh.shape[AXIS]
+
+    def local_replica(curve):
+        d = jax.lax.axis_index(AXIS)
+        # Per-device replica: distinct fold of the scene seed, exactly like
+        # fern.py's one_replica — device index plays the replica index.
+        hits = _fern_hits(
+            scene, scene.width, scene.height, walkers, steps, 1,
+            scene.seed + d * 7919,
+        )[0]
+        if compat_replicas:
+            # Reference N-thread mode (src/lib.rs:271-319): darken each
+            # replica independently, then saturating-add.  Saturating chain
+            # of non-negatives ≡ clamp(total), so psum + min is exact.
+            img = jnp.take(curve, jnp.minimum(hits, curve.shape[0] - 1), axis=0)
+            total = jax.lax.psum(img.astype(jnp.int32), AXIS)
+            return jnp.minimum(total, 255).astype(jnp.uint8)
+        # Native mode: one global fern — all-reduce the hit grids, darken once.
+        hits = jax.lax.psum(hits, AXIS)
+        return jnp.take(curve, jnp.minimum(hits, curve.shape[0] - 1), axis=0)
+
+    return shard_map(
+        local_replica,
+        mesh=mesh,
+        in_specs=P(),
+        out_specs=P(),
+        check_vma=False,
+    )(curve)
+
+
+def render_fern_sharded(scene: Scene, mesh: Optional[Mesh] = None,
+                        walkers: int = 4096, compat_replicas: bool = False):
+    """Fern across a device mesh: each device walks its own replica,
+    one psum combines them (the reference's combine_images all-reduce,
+    src/lib.rs:303-318, as a single ICI collective)."""
+    from fractal_tpu.models.fern import darkening_curve
+
+    mesh = mesh if mesh is not None else make_mesh()
+    n = mesh.shape[AXIS]
+    per_dev = max(1, scene.iterations // n)
+    k = int(min(walkers, per_dev))
+    steps = max(1, per_dev // k)
+    curve = jnp.asarray(darkening_curve(
+        scene.secondary_color.as_tuple(),
+        scene.primary_color.as_tuple(),
+        float(scene.color_weight),
+    ))
+    return _render_fern_sharded_jit(scene, k, steps, mesh, compat_replicas, curve)

@@ -36,6 +36,7 @@ from fractal_tpu.ops.escape_jnp import iterate
 F32_SPACING_LIMIT = 2e-5   # conservative: ~2^7 ulps of headroom at |c|~1
 F64_SPACING_LIMIT = 1e-13
 PERTURB_SPACING_LIMIT = 5e-7  # prefer perturbation once f32 is unsafe
+PERTURB_AVAILABLE = False  # flipped once ops/perturb.py lands
 
 
 def _ensure_x64():
@@ -57,7 +58,11 @@ def resolve_precision(scene: Scene) -> str:
     spacing = scene.pixel_spacing / scene.supersample
     if spacing > F32_SPACING_LIMIT:
         return "f32"
-    if scene.algo in ("mandelbrot", "julia") and spacing <= PERTURB_SPACING_LIMIT:
+    if (
+        PERTURB_AVAILABLE
+        and scene.algo in ("mandelbrot", "julia")
+        and spacing <= PERTURB_SPACING_LIMIT
+    ):
         return "perturb"
     if jax.default_backend() != "cpu":
         return "ds32"

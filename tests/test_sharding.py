@@ -1,0 +1,86 @@
+"""Multi-device sharding tests on the 8-virtual-device CPU mesh
+(SURVEY.md §4: "Multi-device without a cluster").
+
+Asserts the sharded renders equal the single-device renders — the
+correctness contract for the spatial-DP escape engine and the fern's
+psum ensemble reduce (SURVEY.md §2 C7/C9).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from fractal_tpu.config import Scene, scene_defaults
+from fractal_tpu.parallel.sharding import (
+    make_mesh,
+    render_escape_sharded,
+    render_fern_sharded,
+)
+from fractal_tpu.render import render_u8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return make_mesh(8)
+
+
+def test_escape_sharded_matches_single_device(mesh):
+    scene = Scene(width=96, height=64, iterations=64,
+                  pos=(-0.6, 0.0), scale=(0.4, 0.4), precision="ds32")
+    single = np.asarray(render_u8(scene))
+    sharded = np.asarray(render_escape_sharded(scene, mesh, precision="ds32"))
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_escape_sharded_deep_zoom(mesh):
+    # 1e6x zoom with height not divisible by 8 (padding path).
+    scene = Scene(width=40, height=30, iterations=128,
+                  pos=(-0.7436447860, 0.1318252536), scale=(1e6, 1e6),
+                  precision="ds32")
+    single = np.asarray(render_u8(scene))
+    sharded = np.asarray(render_escape_sharded(scene, mesh, precision="ds32"))
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_escape_sharded_julia_f32(mesh):
+    scene = Scene(algo="julia", width=64, height=48, iterations=60,
+                  julia_set=(-0.8, 0.156), pos=(0.0, 0.0), scale=(0.4, 0.4),
+                  precision="f32")
+    # backend="pallas" (interpreted on CPU) so single-device uses the same
+    # params-path viewport constants as the sharded kernel — the contract
+    # tested here is "sharding changes nothing", not jnp-vs-params rounding.
+    single = np.asarray(render_u8(scene, backend="pallas"))
+    sharded = np.asarray(render_escape_sharded(scene, mesh, precision="f32"))
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_fern_sharded_background_and_attractor(mesh):
+    scene = scene_defaults("fern").replace(width=64, height=64,
+                                           iterations=80_000)
+    img = np.asarray(render_fern_sharded(scene, mesh))
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    # corners never touched by the attractor -> background survives psum
+    assert tuple(img[0, 0]) == (240, 240, 240)
+    assert tuple(img[-1, -1]) == (240, 240, 240)
+    # the fern did land somewhere: some pixels darkened
+    assert (img < 200).any()
+
+
+def test_fern_sharded_deterministic(mesh):
+    scene = scene_defaults("fern").replace(width=48, height=48,
+                                           iterations=40_000, seed=7)
+    a = np.asarray(render_fern_sharded(scene, mesh))
+    b = np.asarray(render_fern_sharded(scene, mesh))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fern_compat_replicas_mode(mesh):
+    scene = scene_defaults("fern").replace(width=48, height=48,
+                                           iterations=40_000)
+    img = np.asarray(render_fern_sharded(scene, mesh, compat_replicas=True))
+    assert img.shape == (48, 48, 3) and img.dtype == np.uint8
+    # Reference semantics (src/lib.rs:294-318): every replica starts as a
+    # full secondary_color image and the combine is a saturating add, so
+    # with N=8 replicas the untouched background saturates to white.
+    assert tuple(img[0, 0]) == (255, 255, 255)
