@@ -1,0 +1,446 @@
+"""Perturbation rendering — the deep-zoom decomposition (SURVEY.md §2 C10).
+
+The reference's GPU port stalled on precision (reference README.md:20-22:
+f32 breaks past ~1e4× zoom, and TPUs have no hardware f64).  Perturbation
+is the established fix: compute ONE reference orbit ``Z_{n+1} = Z_n² + c0``
+in high precision on the host, then iterate only the per-pixel *delta*
+``δz`` on the device in plain f32:
+
+    δz' = 2·Z_n·δz + δz² + δc          (Mandelbrot; Julia drops the +δc)
+    z    = Z_{n+1} + δz'               (escape test on the full value)
+
+δc = (u − u₀)·A is tiny (pixel offsets × pixel spacing), so f32 holds it
+to ~1e-38 — good for zooms past 1e30, far beyond the f64 wall.  Per-step
+cost is ~14 f32 VPU flops vs ~120 for the double-single kernel: this is
+both the precision *and* the speed path for deep zooms.
+
+Glitch handling: pixels whose δz dynamics lose precision (the Pauldelbrot
+criterion: |z| ≪ |Z|) or that outlive the reference orbit are flagged and
+re-rendered exactly with the ds32 kernel as a sparse 1-D fallback pass —
+typically a handful of pixels near minibrots.
+
+Reference-point selection: the view center if its orbit survives the full
+budget; otherwise the max-iteration-count pixel of a coarse ds32 probe
+render.  The orbit itself is computed from the *exact rational* pixel
+coordinate (Fraction arithmetic), in f64 for zooms ≲1e13 and mpmath above.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from fractions import Fraction
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fractal_tpu.ops.escape_pallas import (
+    CHUNK,
+    TILE_H,
+    TILE_W,
+    _cdiv,
+    _iterate_tile,
+    _rep_rule,
+    scene_params,
+)
+
+GLITCH_TOL_SQ = 1e-6  # Pauldelbrot: glitched when |z|² < τ²·|Z|², τ=1e-3
+
+# Zooms this deep need more than f64 for the host reference orbit
+# (pixel spacing < ~1e-13 ⇒ orbit must resolve finer structure).
+F64_ORBIT_SPACING_LIMIT = 1e-13
+
+
+# ---------------------------------------------------------------------------
+# Host side: exact viewport rationals + high-precision reference orbit
+# ---------------------------------------------------------------------------
+
+
+def _affine_fractions(width: int, height: int, pos, scale):
+    """The viewport transform c = u·A + C as exact rationals per axis
+    (same refactoring as escape_pallas.viewport_affine, kept in Fraction
+    form so the reference pixel's coordinate is exact at any depth)."""
+    out = []
+    for axis, (p, s) in enumerate(zip(pos, scale)):
+        off = Fraction(width, height * 2) if axis == 0 else Fraction(1, 2)
+        a = Fraction(1) / (Fraction(height) * Fraction(float(s)))
+        c = Fraction(float(p)) - off / Fraction(float(s))
+        out.append((a, c))
+    return out  # [(A_re, C_re), (A_im, C_im)]
+
+
+class RefOrbit(NamedTuple):
+    packed: np.ndarray   # f32 (rows, 8): [Zr_n, Zi_n, Zr_n+1, Zi_n+1, τ²|Z_n+1|², 0,0,0]
+    n_steps: int         # number of usable δ-steps (orbit escaped after this)
+    ref_px: Tuple[int, int]  # (u0, v0) integer pixel of the reference
+
+
+def reference_orbit(scene, ref_px: Tuple[int, int], width: int,
+                    height: int) -> RefOrbit:
+    """Iterate the reference pixel's orbit on the host.
+
+    f64 when the pixel spacing allows, mpmath beyond.  Returns the packed
+    per-step table the device kernel consumes (padded to iterations+CHUNK
+    rows so array shape is static across frames)."""
+    iters = scene.iterations
+    (Ar, Cr), (Ai, Ci) = _affine_fractions(width, height, scene.pos, scene.scale)
+    u0, v0 = ref_px
+    c0r_f = Ar * u0 + Cr
+    c0i_f = Ai * v0 + Ci
+    limit_sq = float(scene.limit) ** 2
+
+    spacing = scene.pixel_spacing / scene.supersample
+    zs = np.empty((iters + 1, 2), np.float64)
+    if spacing > F64_ORBIT_SPACING_LIMIT:
+        c0r, c0i = float(c0r_f), float(c0i_f)
+        if scene.algo == "julia":
+            cr, ci = float(scene.julia_set[0]), float(scene.julia_set[1])
+        else:
+            cr, ci = c0r, c0i
+        zr, zi = c0r, c0i  # z starts at the pixel coordinate (calc:208-212)
+        n = 0
+        zs[0] = (zr, zi)
+        while n < iters:
+            zr, zi = zr * zr - zi * zi + cr, 2.0 * zr * zi + ci
+            n += 1
+            zs[n] = (zr, zi)
+            if zr * zr + zi * zi > limit_sq:
+                break
+    else:
+        import mpmath as mp
+
+        digits = int(-math.log10(max(spacing, 1e-300))) + 20
+        with mp.workdps(digits):
+            c0r_m, c0i_m = (mp.mpf(c0r_f.numerator) / c0r_f.denominator,
+                            mp.mpf(c0i_f.numerator) / c0i_f.denominator)
+            if scene.algo == "julia":
+                cr_m = mp.mpf(float(scene.julia_set[0]))
+                ci_m = mp.mpf(float(scene.julia_set[1]))
+            else:
+                cr_m, ci_m = c0r_m, c0i_m
+            zr_m, zi_m = c0r_m, c0i_m
+            n = 0
+            zs[0] = (float(zr_m), float(zi_m))
+            while n < iters:
+                zr_m, zi_m = (zr_m * zr_m - zi_m * zi_m + cr_m,
+                              2 * zr_m * zi_m + ci_m)
+                n += 1
+                zs[n] = (float(zr_m), float(zi_m))
+                if zs[n, 0] ** 2 + zs[n, 1] ** 2 > limit_sq:
+                    break
+
+    n_steps = n  # δ-steps usable: steps 0..n-1 consume Z_n and Z_{n+1}
+    rows = iters + CHUNK  # static shape: loop index may overrun by < CHUNK
+    packed = np.zeros((rows, 8), np.float32)
+    z32 = zs[: n + 1].astype(np.float32)
+    packed[:n, 0] = z32[:n, 0]
+    packed[:n, 1] = z32[:n, 1]
+    packed[:n, 2] = z32[1 : n + 1, 0]
+    packed[:n, 3] = z32[1 : n + 1, 1]
+    packed[:n, 4] = GLITCH_TOL_SQ * (z32[1 : n + 1, 0] ** 2
+                                     + z32[1 : n + 1, 1] ** 2)
+    return RefOrbit(packed, n_steps, (u0, v0))
+
+
+def choose_reference(scene, width: int, height: int) -> Tuple[int, int]:
+    """Reference pixel: the view center, unless its orbit escapes before the
+    budget — then the max-count pixel of a coarse ds32 probe render mapped
+    back to full resolution."""
+    cu, cv = width // 2, height // 2
+    probe_orbit = reference_orbit(scene, (cu, cv), width, height)
+    if probe_orbit.n_steps >= scene.iterations:
+        return (cu, cv)
+
+    from fractal_tpu.ops.escape_pallas import iterate_whole_jnp
+
+    pw = max(2, min(96, width))
+    ph = max(2, min(96, height))
+    params = scene_params(scene, ph, pw)
+    _, _, cnt = jax.jit(
+        functools.partial(
+            iterate_whole_jnp, algo=scene.algo, power=scene.power,
+            iterations=scene.iterations, precision="ds32",
+            height=ph, width=pw,
+        )
+    )(params)
+    cnt = np.asarray(cnt)
+    # Among max-count probe pixels pick the medoid (closest to their own
+    # centroid): a plain argmax lands on the first (edge-most) pixel of the
+    # interior region, whose full-res neighbor may escape much earlier.
+    best = cnt == cnt.max()
+    ys, xs = np.nonzero(best)
+    cy, cx = ys.mean(), xs.mean()
+    i = int(np.argmin((ys - cy) ** 2 + (xs - cx) ** 2))
+    pv, pu = int(ys[i]), int(xs[i])
+    # Map the probe pixel to full resolution through the exact affines of
+    # both grids (the probe's aspect offset differs when ratios differ).
+    (Arp, Crp), (Aip, Cip) = _affine_fractions(pw, ph, scene.pos, scene.scale)
+    (Ar, Cr), (Ai, Ci) = _affine_fractions(width, height, scene.pos, scene.scale)
+    u = int(round(float(((Arp * int(pu) + Crp) - Cr) / Ar)))
+    v = int(round(float(((Aip * int(pv) + Cip) - Ci) / Ai)))
+    return (min(max(u, 0), width - 1), min(max(v, 0), height - 1))
+
+
+# ---------------------------------------------------------------------------
+# Device side: the δ-orbit iteration (shared jnp / Pallas scaffold)
+# ---------------------------------------------------------------------------
+
+
+def _perturb_tile(xx, yy, P, n_steps, iterations: int,
+                  chunk: int, load_row):
+    """Iterate δz for one tile (or the whole image).
+
+    ``load_row(n) -> (8,)-ish row access`` abstracts VMEM vs jnp loading.
+    P (f32): [Ar, Ai, u0, v0, limit², 0, 0, 0].  ``n_steps`` is a traced
+    scalar — orbit length varies per frame without recompiling.
+
+    Returns (zr, zi, cnt, glitch): full final z, reference-semantics count
+    (escape step excluded, calc/src/lib.rs:245-257), glitch flag (i32 0/1)
+    marking pixels needing the exact fallback.
+    """
+    f32 = jnp.float32
+    Ar, Ai, u0, v0, limit_sq = P[0], P[1], P[2], P[3], P[4]
+    dcr = (xx - u0) * Ar
+    dci = (yy - v0) * Ai
+
+    row0 = load_row(jnp.int32(0))
+    zfr0 = row0[0] + dcr  # full z₀ = Z₀ + δz₀,  δz₀ = δc
+    zfi0 = row0[1] + dci
+    dzr0, dzi0 = dcr, dci
+    cnt0 = jnp.zeros(xx.shape, jnp.int32)
+    gl0 = jnp.zeros(xx.shape, jnp.int32)
+
+    n_chunks = _cdiv(max(iterations, 1), chunk)
+
+    def _active(zfr, zfi, cnt, gl, n):
+        return (
+            (zfr * zfr + zfi * zfi <= limit_sq)
+            & (cnt == n)
+            & (gl == 0)
+        )
+
+    def one_step(n, state):
+        dzr, dzi, zfr, zfi, cnt, gl = state
+        live = _active(zfr, zfi, cnt, gl, n) & (n < n_steps)
+        row = load_row(jnp.minimum(n, jnp.int32(iterations - 1)))
+        Zr, Zi, Zr1, Zi1, gtol = row[0], row[1], row[2], row[3], row[4]
+        # δz' = 2Z·δz + δz² + δc   (Julia: δc folded into δz₀, P[5]=0 kills it)
+        tr = 2.0 * Zr + dzr
+        ti = 2.0 * Zi + dzi
+        ndzr = tr * dzr - ti * dzi + dcr * P[5]
+        ndzi = tr * dzi + ti * dzr + dci * P[5]
+        nzfr = Zr1 + ndzr
+        nzfi = Zi1 + ndzi
+        d = nzfr * nzfr + nzfi * nzfi
+        esc_now = d > limit_sq
+        gl_now = live & (~esc_now) & (d < gtol)
+        upd = live
+        dzr = jnp.where(upd, ndzr, dzr)
+        dzi = jnp.where(upd, ndzi, dzi)
+        zfr = jnp.where(upd, nzfr, zfr)
+        zfi = jnp.where(upd, nzfi, zfi)
+        cnt = cnt + (live & ~esc_now & ~gl_now)
+        gl = gl | gl_now.astype(jnp.int32)
+        return dzr, dzi, zfr, zfi, cnt, gl
+
+    def chunk_body(carry):
+        state, k = carry
+        n0 = k * chunk
+
+        def body(i, s):
+            return one_step(n0 + i, s)
+
+        state = jax.lax.fori_loop(0, chunk, body, state, unroll=True)
+        return state, k + 1
+
+    def chunk_cond(carry):
+        (dzr, dzi, zfr, zfi, cnt, gl), k = carry
+        n = k * chunk
+        return (
+            (k < n_chunks)
+            & (n < n_steps)
+            & jnp.any(_active(zfr, zfi, cnt, gl, n) )
+        )
+
+    state0 = (dzr0, dzi0, zfr0, zfi0, cnt0, gl0)
+    (dzr, dzi, zfr, zfi, cnt, gl), _ = jax.lax.while_loop(
+        chunk_cond, chunk_body, (state0, jnp.int32(0))
+    )
+    # Pixels that outlived the reference orbit (cnt == n_steps < iterations,
+    # unescaped) have no more Z rows — they are glitches for the fallback.
+    ran_out = (
+        (zfr * zfr + zfi * zfi <= limit_sq)
+        & (cnt >= n_steps)
+        & (n_steps < iterations)
+    )
+    gl = gl | ran_out.astype(jnp.int32)
+    return zfr, zfi, cnt, gl
+
+
+def _pert_params(scene, ref_px, width: int, height: int):
+    (Ar, Cr), (Ai, Ci) = _affine_fractions(width, height, scene.pos, scene.scale)
+    dc_gain = 0.0 if scene.algo == "julia" else 1.0
+    return jnp.asarray(
+        [float(Ar), float(Ai), float(ref_px[0]), float(ref_px[1]),
+         float(scene.limit) ** 2, dc_gain, 0.0, 0.0],
+        jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "height", "width"))
+def perturb_whole_jnp(orbit, P, n_steps, *, iterations: int, height: int,
+                      width: int):
+    """Whole-image jnp twin of the Pallas kernel (CPU path + test oracle)."""
+    f32 = jnp.float32
+    yy = jax.lax.broadcasted_iota(f32, (height, width), 0)
+    xx = jax.lax.broadcasted_iota(f32, (height, width), 1)
+
+    def load_row(n):
+        r = jax.lax.dynamic_slice(orbit, (n, jnp.int32(0)), (1, 8))
+        return [r[0, i] for i in range(5)]
+
+    return _perturb_tile(xx, yy, P, n_steps, iterations, CHUNK, load_row)
+
+
+def _build_pert_kernel(iterations: int, tile_h: int, tile_w: int, chunk: int):
+    def kernel(ns_ref, p_ref, orbit_ref, zr_ref, zi_ref, cnt_ref, gl_ref):
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+        f32 = jnp.float32
+        y0 = ti * tile_h
+        x0 = tj * tile_w
+        yy = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) + y0).astype(f32)
+        xx = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) + x0).astype(f32)
+        P = [p_ref[i] for i in range(8)]
+        n_steps = ns_ref[0]
+
+        def load_row(n):
+            r = orbit_ref[pl.ds(n, 1), :]
+            return [r[0, i] for i in range(5)]
+
+        zr, zi, cnt, gl = _perturb_tile(
+            xx, yy, P, n_steps, iterations, chunk, load_row
+        )
+        zr_ref[:] = zr
+        zi_ref[:] = zi
+        cnt_ref[:] = cnt
+        gl_ref[:] = gl
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "height", "width")
+)
+def perturb_pallas(orbit, P, n_steps, *, iterations: int, height: int,
+                   width: int):
+    """Pallas TPU lowering: image tiled on a 2-D grid, full orbit table
+    resident in VMEM, (stride/offset-free) per-tile early exit."""
+    kernel = _build_pert_kernel(iterations, TILE_H, TILE_W, CHUNK)
+    grid = (_cdiv(height, TILE_H), _cdiv(width, TILE_W))
+    outf = jax.ShapeDtypeStruct((height, width), jnp.float32)
+    outi = jax.ShapeDtypeStruct((height, width), jnp.int32)
+    block = lambda: pl.BlockSpec(
+        (TILE_H, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(block(), block(), block(), block()),
+        out_shape=(outf, outf, outi, outi),
+        cost_estimate=pl.CostEstimate(
+            flops=16 * iterations * height * width,
+            bytes_accessed=height * width * 16 + iterations * 32,
+            transcendentals=0,
+        ),
+    )(n_steps, P, orbit)
+
+
+# ---------------------------------------------------------------------------
+# Glitch fallback: exact ds32 re-render of the flagged pixels (sparse 1-D)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("algo", "power", "iterations", "k")
+)
+def _fallback_1d(params16, xs, ys, *, algo: str, power: int,
+                 iterations: int, k: int):
+    rep, rule, is_ds = _rep_rule(algo, power, "ds32")
+    P = [params16[i] for i in range(16)]
+    return _iterate_tile(
+        rep, rule, is_ds, algo == "julia", iterations, CHUNK,
+        xs.reshape(1, k), ys.reshape(1, k), P,
+    )
+
+
+def _apply_fallback(scene, zr, zi, cnt, gl, width: int, height: int):
+    gl_host = np.asarray(gl)
+    idx = np.flatnonzero(gl_host)
+    if idx.size == 0:
+        return zr, zi, cnt, 0
+    k = 1 << max(7, (idx.size - 1).bit_length())  # pow-2 buckets, min 128
+    xs = np.zeros(k, np.float32)
+    ys = np.zeros(k, np.float32)
+    xs[: idx.size] = (idx % width).astype(np.float32)
+    ys[: idx.size] = (idx // width).astype(np.float32)
+    params16 = scene_params(scene, height, width)
+    fzr, fzi, fcnt = _fallback_1d(
+        params16, jnp.asarray(xs), jnp.asarray(ys),
+        algo=scene.algo, power=scene.power, iterations=scene.iterations, k=k,
+    )
+    fzr = np.asarray(fzr).ravel()[: idx.size]
+    fzi = np.asarray(fzi).ravel()[: idx.size]
+    fcnt = np.asarray(fcnt).ravel()[: idx.size]
+    zr = np.asarray(zr).copy().ravel()
+    zi = np.asarray(zi).copy().ravel()
+    cnt = np.asarray(cnt).copy().ravel()
+    zr[idx] = fzr
+    zi[idx] = fzi
+    cnt[idx] = fcnt
+    shape = (height, width)
+    return (jnp.asarray(zr.reshape(shape)), jnp.asarray(zi.reshape(shape)),
+            jnp.asarray(cnt.reshape(shape)), int(idx.size))
+
+
+# ---------------------------------------------------------------------------
+# Public: full perturbation render
+# ---------------------------------------------------------------------------
+
+
+def iterate_perturb(scene, height: int, width: int, use_pallas: bool):
+    """(zr, zi, cnt) for a scene via perturbation + exact glitch fallback."""
+    ref_px = choose_reference(scene, width, height)
+    orbit = reference_orbit(scene, ref_px, width, height)
+    P = _pert_params(scene, ref_px, width, height)
+    ns = jnp.asarray([orbit.n_steps], jnp.int32)
+    fn = perturb_pallas if use_pallas else perturb_whole_jnp
+    zr, zi, cnt, gl = fn(
+        jnp.asarray(orbit.packed), P,
+        ns if use_pallas else jnp.int32(orbit.n_steps),
+        iterations=scene.iterations, height=height, width=width,
+    )
+    zr, zi, cnt, n_glitch = _apply_fallback(
+        scene, zr, zi, cnt, gl, width, height
+    )
+    return zr, zi, cnt, n_glitch
+
+
+def render_perturb(scene):
+    """Full perturbation render → (H, W, 3) uint8 device array."""
+    from fractal_tpu.render import _color_and_downsample
+
+    ss = scene.supersample
+    h, w = scene.height * ss, scene.width * ss
+    use_pallas = jax.default_backend() not in ("cpu",)
+    zr, zi, cnt, _ = iterate_perturb(scene, h, w, use_pallas)
+    return _color_and_downsample(scene, zr, zi, cnt)

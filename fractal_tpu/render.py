@@ -35,8 +35,11 @@ from fractal_tpu.ops.escape_jnp import iterate
 
 F32_SPACING_LIMIT = 2e-5   # conservative: ~2^7 ulps of headroom at |c|~1
 F64_SPACING_LIMIT = 1e-13
-PERTURB_SPACING_LIMIT = 5e-7  # prefer perturbation once f32 is unsafe
-PERTURB_AVAILABLE = False  # flipped once ops/perturb.py lands
+# ds32 (~2^-48 relative) resolves pixels down to ~1e-13 spacing; past that
+# only perturbation works on TPU (f32 δ-orbits hold to ~1e-38 absolute).
+# Within ds32's range we stay on ds32: bit-stable quality matching the
+# reference's f64; perturbation is the beyond-reference extension.
+PERTURB_SPACING_LIMIT = 1e-13
 
 
 def _ensure_x64():
@@ -59,8 +62,8 @@ def resolve_precision(scene: Scene) -> str:
     if spacing > F32_SPACING_LIMIT:
         return "f32"
     if (
-        PERTURB_AVAILABLE
-        and scene.algo in ("mandelbrot", "julia")
+        scene.algo in ("mandelbrot", "julia")
+        and scene.power == 2
         and spacing <= PERTURB_SPACING_LIMIT
     ):
         return "perturb"

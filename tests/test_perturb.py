@@ -1,0 +1,162 @@
+"""Perturbation-path tests (SURVEY.md §4 "precision tests" + §2 C10).
+
+The δ-orbit method is validated three ways:
+  * moderate zoom vs the f64 oracle — well-conditioned (low-count) pixels
+    must match exactly; overall disagreement is bounded (the late-escape
+    chaotic band is ill-conditioned at ANY precision: even f64-delta vs
+    direct-f64 disagree there);
+  * beyond-f64 zoom (1e16×) vs direct mpmath iteration at 45 digits —
+    the capability the reference's stalled GPU port never reached
+    (reference README.md:20-22);
+  * end-to-end render + auto-policy resolution.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fractal_tpu.config import Scene
+from fractal_tpu.ops import perturb as pt
+from fractal_tpu.render import render_u8, resolve_precision
+
+
+def _oracle_counts_f64(scene, w, h):
+    from fractal_tpu.models.rules import get_rule
+    from fractal_tpu.ops import viewport
+    from fractal_tpu.ops.escape_jnp import iterate
+
+    cr, ci = viewport.pixel_grid(w, h, scene.pos, scene.scale,
+                                 dtype=jnp.float64)
+    rule = get_rule(scene.algo, scene.power)
+    if scene.algo == "julia":
+        c_r = jnp.float64(scene.julia_set[0])
+        c_i = jnp.float64(scene.julia_set[1])
+        _, _, cnt = iterate(cr, ci, c_r, c_i, scene.iterations, scene.limit, rule)
+    else:
+        _, _, cnt = iterate(cr, ci, cr, ci, scene.iterations, scene.limit, rule)
+    return np.asarray(cnt)
+
+
+def test_perturb_exterior_window_exact():
+    """Exterior window: low, well-conditioned counts — perturbation must
+    match the f64 oracle on every pixel."""
+    scene = Scene(width=96, height=72, iterations=600,
+                  pos=(-0.735, 0.196), scale=(1e8, 1e8))
+    _, _, cnt, n_glitch = pt.iterate_perturb(scene, 72, 96, use_pallas=False)
+    cnt = np.asarray(cnt)
+    c64 = _oracle_counts_f64(scene, 96, 72)
+    np.testing.assert_array_equal(cnt, c64)
+    assert n_glitch == 0
+
+
+def test_perturb_structured_view_vs_f64():
+    """Structured boundary view at 1e6×: counts in the late-escape band are
+    chaotic at ANY precision (f64-delta vs direct-f64 disagree there too),
+    so the contract is statistical: bounded disagreement overall and
+    near-total agreement on the interior/exterior classification."""
+    scene = Scene(width=96, height=72, iterations=600,
+                  pos=(-0.7436447860, 0.1318252536), scale=(1e6, 1e6))
+    _, _, cnt, _ = pt.iterate_perturb(scene, 72, 96, use_pallas=False)
+    cnt = np.asarray(cnt)
+    c64 = _oracle_counts_f64(scene, 96, 72)
+    assert (cnt != c64).mean() < 0.30
+    assert ((cnt == 600) == (c64 == 600)).mean() > 0.97
+
+
+def test_perturb_julia_moderate_zoom():
+    scene = Scene(algo="julia", width=64, height=48, iterations=400,
+                  julia_set=(-0.8, 0.156), pos=(0.1994, -0.01), scale=(1e8, 1e8))
+    zr, zi, cnt, _ = pt.iterate_perturb(scene, 48, 64, use_pallas=False)
+    cnt = np.asarray(cnt)
+    c64 = _oracle_counts_f64(scene, 64, 48)
+    low = c64 < 100
+    assert ((cnt == c64) | ~low).all()
+    assert (cnt != c64).mean() < 0.30
+
+
+def _mpmath_count(c0r_frac, c0i_frac, iterations, limit):
+    import mpmath as mp
+
+    with mp.workdps(45):
+        cr = mp.mpf(c0r_frac.numerator) / c0r_frac.denominator
+        ci = mp.mpf(c0i_frac.numerator) / c0i_frac.denominator
+        zr, zi = cr, ci
+        lim_sq = mp.mpf(limit) ** 2
+        for i in range(iterations):
+            zr, zi = zr * zr - zi * zi + cr, 2 * zr * zi + ci
+            if zr * zr + zi * zi > lim_sq:
+                return i
+        return iterations
+
+
+def test_perturb_beyond_f64_vs_mpmath():
+    """1e16× zoom: pixel spacing ~6e-18 — far past f64.  Perturbation counts
+    must match direct 45-digit mpmath iteration on sampled pixels."""
+    w, h = 16, 12
+    scene = Scene(width=w, height=h, iterations=300,
+                  pos=(-0.74364388703715871, 0.13182590420531198),
+                  scale=(1e16, 1e16))
+    assert resolve_precision(scene) == "perturb"
+    zr, zi, cnt, _ = pt.iterate_perturb(scene, h, w, use_pallas=False)
+    cnt = np.asarray(cnt)
+    (Ar, Cr), (Ai, Ci) = pt._affine_fractions(w, h, scene.pos, scene.scale)
+    rng = np.random.default_rng(0)
+    pts = [(int(x), int(y)) for x, y in
+           zip(rng.integers(0, w, 6), rng.integers(0, h, 6))]
+    for (x, y) in pts:
+        truth = _mpmath_count(Ar * x + Cr, Ai * y + Ci,
+                              scene.iterations, scene.limit)
+        if truth < 250:  # well-conditioned only
+            assert cnt[y, x] == truth, (x, y, cnt[y, x], truth)
+
+
+def test_perturb_render_e2e_and_policy():
+    scene = Scene(width=64, height=48, iterations=200,
+                  pos=(-0.74364388703715871, 0.13182590420531198),
+                  scale=(1e15, 1e15))
+    assert resolve_precision(scene) == "perturb"
+    img = np.asarray(render_u8(scene))
+    assert img.shape == (48, 64, 3) and img.dtype == np.uint8
+    # deep views this close to the set boundary are never monochrome
+    assert img.std() > 1.0
+
+
+def test_reference_orbit_padding_and_escape():
+    scene = Scene(width=32, height=24, iterations=100,
+                  pos=(0.5, 0.5), scale=(10.0, 10.0))  # exterior: escapes fast
+    orbit = pt.reference_orbit(scene, (16, 12), 32, 24)
+    assert orbit.n_steps < 100
+    assert orbit.packed.shape[0] >= scene.iterations
+    # rows past n_steps are zero padding
+    assert (orbit.packed[orbit.n_steps + 1:] == 0).all()
+
+
+def test_glitch_fallback_exactness():
+    """Every glitched pixel is re-rendered by the exact ds32 kernel, so the
+    merged counts equal the ds32 whole-image render on those pixels."""
+    scene = Scene(width=64, height=48, iterations=500,
+                  pos=(-0.7436447860, 0.1318252536), scale=(1e8, 1e8))
+    h, w = 48, 64
+    ref_px = pt.choose_reference(scene, w, h)
+    orbit = pt.reference_orbit(scene, ref_px, w, h)
+    P = pt._pert_params(scene, ref_px, w, h)
+    _, _, _, gl = pt.perturb_whole_jnp(
+        jnp.asarray(orbit.packed), P, jnp.int32(orbit.n_steps),
+        iterations=500, height=h, width=w)
+    gl = np.asarray(gl)
+    _, _, cnt, _ = pt.iterate_perturb(scene, h, w, use_pallas=False)
+    cnt = np.asarray(cnt)
+
+    from fractal_tpu.ops.escape_pallas import iterate_whole_jnp, scene_params
+    params = scene_params(scene, h, w)
+    _, _, c_ds = jax.jit(
+        lambda p: iterate_whole_jnp(p, algo="mandelbrot", power=2,
+                                    iterations=500, precision="ds32",
+                                    height=h, width=w)
+    )(params)
+    c_ds = np.asarray(c_ds)
+    if gl.any():
+        np.testing.assert_array_equal(cnt[gl == 1], c_ds[gl == 1])
