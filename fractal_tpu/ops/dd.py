@@ -212,6 +212,65 @@ def to_float(x: DD):
     return x[0] + x[1]
 
 
+# ---------------------------------------------------------------------------
+# Fused quadratic escape step (the hot path)
+# ---------------------------------------------------------------------------
+
+
+def _split(a):
+    """Dekker/Veltkamp split: a = h + l with h holding the top half of the
+    mantissa, both halves multiplying exactly in one word.  4 flops."""
+    s = a * _split_const(jnp.result_type(a))
+    h = s - (s - a)
+    return h, a - h
+
+
+def quad_step(zr: DD, zi: DD, cr: DD, ci: DD, *, cross_sign: float = 1.0) -> DD:
+    """One fused double-word step of  z ← z² + c  (cross_sign=-1 gives the
+    tricorn's conjugate-square).
+
+    Equivalent to ``add(sub(sqr(zr), sqr(zi)), cr)`` /
+    ``add(mul_pow2(mul(zr, zi), 2), ci)`` but ~2.5× cheaper (~75 vs ~200
+    flops without hardware FMA): the Dekker splits of zr_hi / zi_hi are
+    computed once and shared by all three exact products, and the 3-term
+    double-word sums use the one-two_sum "sloppy" accumulation (absolute
+    error ~2⁻⁴⁸ of the largest term — same order as the accurate chain,
+    which is also absolutely bounded; both are far inside the ds32 design
+    target).  Used by the ds32 escape kernels; validated against the
+    composed dd ops in tests/test_dd.py.
+    """
+    xh, xl = zr
+    yh, yl = zi
+    a1, a2 = _split(xh)
+    b1, b2 = _split(yh)
+
+    # exact hi-word products
+    p1 = xh * xh
+    e1 = ((a1 * a1 - p1) + (a1 + a1) * a2) + a2 * a2
+    p2 = yh * yh
+    e2 = ((b1 * b1 - p2) + (b1 + b1) * b2) + b2 * b2
+    p3 = xh * yh
+    e3 = ((a1 * b1 - p3) + (a1 * b2 + a2 * b1)) + a2 * b2
+
+    # full double-word products (dropping the lo·lo terms, < 2^-48 level)
+    l1 = e1 + (xh + xh) * xl          # x² = (p1, l1)
+    l2 = e2 + (yh + yh) * yl          # y² = (p2, l2)
+    l3 = e3 + (xh * yl + xl * yh)     # x·y = (p3, l3)
+
+    # re: p1 - p2 + cr   (one exact two_sum per pair, lo terms folded)
+    s, e = two_sum(p1, -p2)
+    s2, e2s = two_sum(s, cr[0])
+    lo = ((l1 - l2) + e) + (cr[1] + e2s)
+    nzr = fast_two_sum(s2, lo)
+
+    # im: 2·x·y + ci  (×2 is exact; cross_sign folds the tricorn conjugate)
+    ph = (cross_sign * 2.0) * p3
+    pl = (cross_sign * 2.0) * l3
+    s3, e3s = two_sum(ph, ci[0])
+    nzi = fast_two_sum(s3, pl + (ci[1] + e3s))
+    return nzr, nzi
+
+
 def lt(x: DD, y: DD):
     xh, xl = x
     yh, yl = y

@@ -45,12 +45,28 @@ from fractal_tpu.ops import dd
 from fractal_tpu.models.rules import get_rule
 
 # Tile shape: (sublane, lane) multiples of the f32 (8, 128) VPU tile.
-# 128×128 balances early-exit granularity (divergence between inside/outside
-# tiles) against grid overhead; state fits comfortably in VMEM
-# (f32: 6 arrays × 64 KiB; ds32: 10 × 64 KiB).
-TILE_H = 128
+# Swept on a v5e chip against the 3000²@1e6×/4000-iter headline scene:
+# 32×128 is the divergence sweet spot (128×128: 766 ms, 64×128: 576,
+# 32×128: 487, 16×128: 538, 8×128: 770) — small enough that a tile's
+# lock-step cost tracks its own neighborhood's escape time, big enough
+# that per-tile grid overhead stays amortized.
+TILE_H = 32
 TILE_W = 128
-CHUNK = 16  # iterations between all-escaped checks
+# Iterations between all-escaped checks (same sweep: 8: 551 ms, 16: 487,
+# 32: 456, 64: 453 — the any() reduction is costly enough to batch 32 deep).
+CHUNK = 32
+
+# Periodicity (interior cycle) detection radius — squared.  Trade-off: the
+# bigger it is, the sooner slowly-converging interior orbits are caught,
+# but an exterior orbit passing within eps of periodic must not be able to
+# escape within any realistic remaining budget (drift doubles per ~period).
+# ds32: 1e-9 absolute — ~5 decades above the ds32 noise floor (~4e-15·|z|)
+# so slowly-converging cycles are caught early; an exterior orbit that comes
+# this close to periodic needs ≫10⁴ more iterations to escape, so within
+# realistic budgets the classification matches exact iteration (measured on
+# the headline view: ~1e-6 of pixels flip — creepers straddling the budget).
+PERIOD_EPS_SQ_DS32 = 1e-18
+PERIOD_EPS_SQ_F32 = 1e-12
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -126,6 +142,12 @@ class _F32Rep:
         return tuple(jnp.where(mask, x, y) for x, y in zip(a, b))
 
     @staticmethod
+    def diff_dist(a, b):
+        dr = a[0] - b[0]
+        di = a[1] - b[1]
+        return dr * dr + di * di
+
+    @staticmethod
     def collapse(z):
         return z[0], z[1]
 
@@ -165,6 +187,13 @@ class _DS32Rep:
         )
 
     @staticmethod
+    def diff_dist(a, b):
+        # full hi+lo difference: resolves below the ds32 noise floor
+        dr = (a[0][0] - b[0][0]) + (a[0][1] - b[0][1])
+        di = (a[1][0] - b[1][0]) + (a[1][1] - b[1][1])
+        return dr * dr + di * di
+
+    @staticmethod
     def collapse(z):
         return z[0][0] + z[0][1], z[1][0] + z[1][1]
 
@@ -176,22 +205,13 @@ class _DS32Rep:
         zr, zi = z
         cr, ci = c
         if name in ("mandelbrot", "julia") or (name == "multibrot" and power == 2):
-            zr2 = dd.sqr(zr)
-            zi2 = dd.sqr(zi)
-            cross = dd.mul(zr, zi)
-            nzr = dd.add(dd.sub(zr2, zi2), cr)
-            nzi = dd.add(dd.mul_pow2(cross, 2.0), ci)
+            nzr, nzi = dd.quad_step(zr, zi, cr, ci)
         elif name == "burningship":
             ar = dd.where(zr[0] < 0, dd.neg(zr), zr)
             ai = dd.where(zi[0] < 0, dd.neg(zi), zi)
-            nzr = dd.add(dd.sub(dd.sqr(ar), dd.sqr(ai)), cr)
-            nzi = dd.add(dd.mul_pow2(dd.mul(ar, ai), 2.0), ci)
+            nzr, nzi = dd.quad_step(ar, ai, cr, ci)
         elif name == "tricorn":
-            zr2 = dd.sqr(zr)
-            zi2 = dd.sqr(zi)
-            cross = dd.mul(zr, zi)
-            nzr = dd.add(dd.sub(zr2, zi2), cr)
-            nzi = dd.add(dd.mul_pow2(dd.neg(cross), 2.0), ci)
+            nzr, nzi = dd.quad_step(zr, zi, cr, ci, cross_sign=-1.0)
         elif name == "multibrot":
             wr, wi = zr, zi
             for _ in range(power - 1):
@@ -211,15 +231,31 @@ class _DS32Rep:
 
 
 def _iterate_tile(rep, rule, is_ds: bool, julia: bool, iterations: int,
-                  chunk: int, xx, yy, P):
+                  chunk: int, xx, yy, P, periodicity: bool = False):
     """Shared iteration scaffold: viewport → masked lock-step loop with
     chunked early exit.  Runs identically inside a Pallas kernel (xx/yy =
     tile-local iota + tile origin) and as a whole-image jnp program (the
     CPU fallback for ds32, where Pallas TPU lowering is unavailable and
-    interpret mode is orders of magnitude too slow)."""
+    interpret mode is orders of magnitude too slow).
+
+    ``periodicity=True`` adds Brent-style cycle detection: a snapshot of z
+    is taken at power-of-two steps; a pixel whose orbit returns within EPS
+    of the snapshot is interior — it can never escape within any realistic
+    budget — and is frozen with cnt = iterations immediately instead of
+    burning the rest of the budget.  Interior-heavy deep views get ~budget/
+    detection-time speedups.  Only enabled when the caller knows the final
+    z phase is irrelevant (scene.inside == False: interior renders black,
+    calc/src/lib.rs:232-233); with inside shading the reference's
+    secondary×|z_final|² depends on the exact phase at step `iterations`.
+    """
     limit_sq = P[8]
     n_chunks = _cdiv(max(iterations, 1), chunk)
     shape = xx.shape
+    # Absolute detection radius: well above the representation noise floor
+    # (ds32 ~4e-15·|z|, f32 ~1e-7·|z|) so converged cycles trigger, tiny
+    # enough that a not-yet-detected orbit this close to periodic cannot
+    # escape within ~1e6 further iterations.
+    eps_sq = PERIOD_EPS_SQ_DS32 if is_ds else PERIOD_EPS_SQ_F32
 
     c = rep.make_c(xx, yy, P[:8])
     z0 = rep.to_z(c)
@@ -244,29 +280,37 @@ def _iterate_tile(rep, rule, is_ds: bool, julia: bool, iterations: int,
     def _active(z, cnt):
         return (rep.dist(z) <= limit_sq) & (cnt < iterations)
 
-    def one_step(state):
-        z, cnt = state
+    def one_step(n, state):
+        z, snap, cnt = state
         active = _active(z, cnt)
         nz = rep.step(rule, z, c)
         d = rep.dist(nz)
         esc_now = active & (d > limit_sq)
         z = rep.select(active, nz, z)
         cnt = cnt + (active & ~esc_now)
-        return z, cnt
+        if periodicity:
+            per_now = active & ~esc_now & (rep.diff_dist(nz, snap) < eps_sq)
+            cnt = jnp.where(per_now, iterations, cnt)
+            # Brent schedule: snapshot at n = 1, 2, 4, 8, ... (n>=1)
+            take = (n >= 1) & ((n & (n - 1)) == 0)
+            snap = rep.select(jnp.broadcast_to(take & active, shape), z, snap)
+        return z, snap, cnt
 
     def chunk_body(carry):
         state, k = carry
+        n0 = k * chunk
         state = jax.lax.fori_loop(
-            0, chunk, lambda _, s: one_step(s), state, unroll=True
+            0, chunk, lambda i, s: one_step(n0 + i, s), state, unroll=True
         )
         return state, k + 1
 
     def chunk_cond(carry):
-        (z, cnt), k = carry
+        (z, snap, cnt), k = carry
         return (k < n_chunks) & jnp.any(_active(z, cnt))
 
-    (z, cnt), _ = jax.lax.while_loop(
-        chunk_cond, chunk_body, ((z0, cnt0), jnp.int32(0))
+    snap0 = z0 if periodicity else ()
+    (z, snap, cnt), _ = jax.lax.while_loop(
+        chunk_cond, chunk_body, ((z0, snap0, cnt0), jnp.int32(0))
     )
     zr, zi = rep.collapse(z)
     return zr, zi, cnt
@@ -280,7 +324,8 @@ def _rep_rule(algo: str, power: int, precision: str):
 
 
 def _build_kernel(algo: str, power: int, julia: bool, iterations: int,
-                  precision: str, tile_h: int, tile_w: int, chunk: int):
+                  precision: str, tile_h: int, tile_w: int, chunk: int,
+                  periodicity: bool):
     rep, rule, is_ds = _rep_rule(algo, power, precision)
 
     def kernel(params_ref, zr_ref, zi_ref, cnt_ref):
@@ -298,7 +343,8 @@ def _build_kernel(algo: str, power: int, julia: bool, iterations: int,
         # sharded render is bit-identical to single-device.
         yy = yy * P[14] + P[15]
         zr, zi, cnt = _iterate_tile(
-            rep, rule, is_ds, julia, iterations, chunk, xx, yy, P
+            rep, rule, is_ds, julia, iterations, chunk, xx, yy, P,
+            periodicity=periodicity,
         )
         zr_ref[:] = zr
         zi_ref[:] = zi
@@ -309,18 +355,24 @@ def _build_kernel(algo: str, power: int, julia: bool, iterations: int,
 
 def iterate_whole_jnp(params, *, algo: str, power: int, iterations: int,
                       precision: str, height: int, width: int,
-                      chunk: int = CHUNK):
+                      chunk: int = CHUNK, periodicity: bool = False):
     """Whole-image jnp version of the kernel — identical math (same rep,
     same viewport affine), no Pallas: the CPU path for ds32 and the oracle
     for kernel tests."""
     rep, rule, is_ds = _rep_rule(algo, power, precision)
+    # The CPU/XLA:LLVM backend compiles pathologically slowly (>4 min for a
+    # 96×72 image) when the periodicity state rides a 32-deep unrolled body;
+    # the jnp twin is a fallback/test oracle, so cap its unroll depth.  The
+    # Pallas/Mosaic path keeps the swept CHUNK.
+    chunk = min(chunk, 16)
     f32 = jnp.float32
     yy = jax.lax.broadcasted_iota(f32, (height, width), 0)
     xx = jax.lax.broadcasted_iota(f32, (height, width), 1)
     P = [params[i] for i in range(16)]
     yy = yy * P[14] + P[15]  # global-row map for sharded stripes (see kernel)
     return _iterate_tile(
-        rep, rule, is_ds, algo == "julia", iterations, chunk, xx, yy, P
+        rep, rule, is_ds, algo == "julia", iterations, chunk, xx, yy, P,
+        periodicity=periodicity,
     )
 
 
@@ -337,6 +389,7 @@ def iterate_params(
     tile_w: int = TILE_W,
     chunk: int = CHUNK,
     interpret: bool = False,
+    periodicity: bool = False,
 ):
     """Traceable pallas invocation: everything scene-shaped is static,
     the 14 viewport/limit/julia scalars ride in ``params`` (f32[14], built
@@ -350,10 +403,12 @@ def iterate_params(
         return iterate_whole_jnp(
             params, algo=algo, power=power, iterations=iterations,
             precision=precision, height=height, width=width, chunk=chunk,
+            periodicity=periodicity,
         )
     julia = algo == "julia"
     kernel = _build_kernel(
-        algo, power, julia, iterations, precision, tile_h, tile_w, chunk
+        algo, power, julia, iterations, precision, tile_h, tile_w, chunk,
+        periodicity,
     )
     grid = (_cdiv(height, tile_h), _cdiv(width, tile_w))
     out = jax.ShapeDtypeStruct((height, width), jnp.float32)

@@ -87,6 +87,7 @@ def _render_escape_sharded_jit(scene: Scene, params, precision: str,
             height=rows_local,
             width=w,
             interpret=not use_pallas,
+            periodicity=not scene.inside,
         )
         img = coloring.color_escape_result(
             zr, zi, cnt,

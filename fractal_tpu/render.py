@@ -138,6 +138,9 @@ def _render_escape_pallas_jit(scene: Scene, params, precision: str, interpret: b
         width=w,
         precision=precision,
         interpret=interpret,
+        # Interior cycle detection is exact only when interior pixels render
+        # black (no dependence on the final z phase) — see _iterate_tile.
+        periodicity=not scene.inside,
     )
     return _color_and_downsample(scene, zr, zi, cnt)
 

@@ -129,3 +129,24 @@ def test_multibrot_power_matches_complex_pow():
     want = z ** 5 + c
     assert np.isclose(float(zr[0]), want.real, rtol=1e-12)
     assert np.isclose(float(zi[0]), want.imag, rtol=1e-12)
+
+
+def test_periodicity_detection_matches_plain():
+    """Interior cycle detection (inside=False fast path) must not change a
+    single count: escaped pixels are untouched and interior pixels report
+    cnt == iterations either way (no false positives on a set-heavy view)."""
+    import jax
+    import numpy as np
+    from fractal_tpu.ops.escape_pallas import iterate_whole_jnp, scene_params
+    from fractal_tpu.config import Scene
+
+    scene = Scene(width=96, height=72, iterations=400, inside=False,
+                  pos=(-0.6, 0.0), scale=(0.4, 0.4))
+    params = scene_params(scene)
+    kw = dict(algo="mandelbrot", power=2, iterations=400,
+              precision="ds32", height=72, width=96)
+    _, _, c_off = jax.jit(lambda p: iterate_whole_jnp(p, periodicity=False, **kw))(params)
+    _, _, c_on = jax.jit(lambda p: iterate_whole_jnp(p, periodicity=True, **kw))(params)
+    c_off, c_on = np.asarray(c_off), np.asarray(c_on)
+    assert (c_off == 400).mean() > 0.15  # the view really contains the set
+    np.testing.assert_array_equal(c_on, c_off)
