@@ -22,12 +22,34 @@ def _lib_path() -> str:
     return os.path.join(here, "native", "libfastimg.so")
 
 
+def _try_build(path: str) -> None:
+    """Build libfastimg.so from source on first use (fresh checkouts have
+    no binaries).  Silent no-op on any failure — Pillow handles encoding."""
+    import shutil
+    import subprocess
+
+    src_dir = os.path.dirname(path)
+    if not os.path.exists(os.path.join(src_dir, "fastimg.cpp")):
+        return
+    if shutil.which("make") is None:
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", src_dir, "libfastimg.so"],
+            capture_output=True, timeout=120, check=False,
+        )
+    except Exception:
+        pass
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     path = _lib_path()
+    if not os.path.exists(path):
+        _try_build(path)
     if not os.path.exists(path):
         return None
     try:

@@ -1,0 +1,367 @@
+"""Interactive viewer — the TPU framework's equivalent of the reference's
+egui GUI (reference src/gui.rs, feature "gui").
+
+A native event-loop GUI makes little sense for a TPU-hosted renderer (the
+chip usually lives across a network link), so the viewer is a tiny local
+HTTP server + browser page driving the same render API.  The behaviors that
+define the reference GUI are reproduced exactly:
+
+  * **one in-flight render, latest-wins coalescing** (gui.rs:37-48,
+    115-117): a config change while a render is running only overwrites the
+    single pending slot; when the worker finishes it immediately re-renders
+    with the newest config.
+  * **arrow-key pan** by 0.5·dt/scale complex units (gui.rs:287-301).
+  * **scroll zoom**, asymmetric: in ×(1+Δ/80), out ×(1−min(log₁₀(Δ/10+1)/2,
+    1)) (gui.rs:303-317).
+  * **S** renders a 2× resolution screenshot on a side thread, fire-and-
+    forget (gui.rs:319-328); **M** toggles the menubar (gui.rs:131-133).
+  * **algorithm switch resets every setting** to that algorithm's defaults
+    (gui.rs:334-339).
+  * Julia-c 2-D point picker (gui.rs:206-226, vec2ui::PointSelect).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from fractal_tpu.config import RGB, Scene, scene_defaults
+
+
+# ---------------------------------------------------------------------------
+# Scene <-> JSON
+# ---------------------------------------------------------------------------
+
+_COLOR_FIELDS = ("primary_color", "secondary_color")
+_TUPLE_FIELDS = ("pos", "scale", "julia_set")
+
+
+def scene_to_dict(s: Scene) -> dict:
+    d = dataclasses.asdict(s)
+    for f in _COLOR_FIELDS:
+        c = getattr(s, f)
+        d[f] = [c.r, c.g, c.b]
+    return d
+
+
+def scene_from_dict(d: dict) -> Scene:
+    kw = dict(d)
+    for f in _COLOR_FIELDS:
+        if f in kw and not isinstance(kw[f], RGB):
+            r, g, b = kw[f]
+            kw[f] = RGB(int(r), int(g), int(b))
+    for f in _TUPLE_FIELDS:
+        if f in kw:
+            kw[f] = tuple(kw[f])
+    return Scene(**kw)
+
+
+# ---------------------------------------------------------------------------
+# Render worker: one in-flight render, latest-wins (gui.rs:37-48)
+# ---------------------------------------------------------------------------
+
+
+class RenderWorker:
+    def __init__(self):
+        self._lock = threading.Condition()
+        self._pending: Scene | None = None
+        self._working = False
+        self._png: bytes = b""
+        self._gen = 0
+        self._last_ms = 0.0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def request(self, scene: Scene) -> None:
+        """Submit a config.  If a render is in flight the pending slot is
+        overwritten — the exact try_redraw coalescing of the reference."""
+        with self._lock:
+            self._pending = scene
+            self._lock.notify()
+
+    def snapshot(self):
+        with self._lock:
+            return self._gen, self._png, self._last_ms
+
+    def wait_for(self, gen: int, timeout: float = 25.0):
+        deadline = time.monotonic() + timeout
+        with self._lock:
+            while self._gen == gen and time.monotonic() < deadline:
+                self._lock.wait(timeout=max(0.05, deadline - time.monotonic()))
+            return self._gen, self._png, self._last_ms
+
+    def _loop(self):
+        from fractal_tpu.render import render
+
+        while True:
+            with self._lock:
+                while self._pending is None:
+                    self._lock.wait()
+                scene = self._pending
+                self._pending = None
+                self._working = True
+            t0 = time.perf_counter()
+            try:
+                img = render(scene)
+                png = _encode_png(img)
+                ms = (time.perf_counter() - t0) * 1e3
+                with self._lock:
+                    self._png = png
+                    self._gen += 1
+                    self._last_ms = ms
+                    self._working = False
+                    self._lock.notify_all()
+            except Exception as e:  # keep the loop alive on bad configs
+                print(f"viewer render failed: {e}")
+                with self._lock:
+                    self._working = False
+                    self._lock.notify_all()
+
+
+def _encode_png(img: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img, mode="RGB").save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _screenshot(scene: Scene, filename: str, fmt: str):
+    """2× resolution screenshot on a side thread (gui.rs:319-328)."""
+    def run():
+        from fractal_tpu.io import write_image
+        from fractal_tpu.render import render
+
+        big = scene.replace(width=scene.width * 2, height=scene.height * 2)
+        write_image(render(big), filename, fmt)
+
+    threading.Thread(target=run, daemon=True).start()
+
+
+# ---------------------------------------------------------------------------
+# HTTP server
+# ---------------------------------------------------------------------------
+
+
+def _make_handler(worker: RenderWorker, state: dict):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, body, ctype="application/json", headers=()):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in headers:
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/" or self.path.startswith("/index"):
+                self._send(200, _PAGE.encode(), "text/html; charset=utf-8")
+            elif self.path.startswith("/image"):
+                q = self.path.split("gen=")
+                gen = int(q[1]) if len(q) > 1 else -1
+                g, png, ms = worker.wait_for(gen) if gen >= 0 else worker.snapshot()
+                self._send(200, png, "image/png",
+                           [("X-Gen", str(g)), ("X-Render-Ms", f"{ms:.1f}"),
+                            ("Cache-Control", "no-store")])
+            elif self.path == "/scene":
+                body = json.dumps(scene_to_dict(state["scene"])).encode()
+                self._send(200, body)
+            else:
+                self._send(404, b"{}")
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            data = json.loads(self.rfile.read(n) or b"{}")
+            if self.path == "/config":
+                try:
+                    scene = scene_from_dict(data)
+                except Exception as e:
+                    self._send(400, json.dumps({"error": str(e)}).encode())
+                    return
+                state["scene"] = scene
+                worker.request(scene)
+                self._send(200, b"{}")
+            elif self.path == "/reset":
+                # algorithm switch resets ALL settings (gui.rs:334-339)
+                scene = scene_defaults(data.get("algo", "mandelbrot"))
+                scene = scene.replace(width=state["scene"].width,
+                                      height=state["scene"].height)
+                state["scene"] = scene
+                worker.request(scene)
+                self._send(200, json.dumps(scene_to_dict(scene)).encode())
+            elif self.path == "/screenshot":
+                _screenshot(state["scene"], state["filename"], state["fmt"])
+                self._send(200, b"{}")
+            else:
+                self._send(404, b"{}")
+
+    return Handler
+
+
+def start(options, port: int = 8750, open_browser: bool = True,
+          block: bool = True):
+    """Launch the viewer (reference gui::start, gui.rs:345-348)."""
+    scene = options.scene
+    # GUI-sized default canvas: the reference viewer renders at window size;
+    # keep the CLI dims.
+    worker = RenderWorker()
+    state = {"scene": scene, "filename": options.filename, "fmt": options.fmt}
+    worker.request(scene)
+    server = ThreadingHTTPServer(("127.0.0.1", port), _make_handler(worker, state))
+    url = f"http://127.0.0.1:{port}/"
+    print(f"viewer: {url}  (S = 2x screenshot, M = menubar, arrows pan, scroll zooms)")
+    if open_browser:
+        from fractal_tpu.io import open_in_viewer
+
+        try:
+            open_in_viewer(url)
+        except Exception:
+            pass
+    if block:
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            print("viewer: shutting down")
+    else:
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server
+
+
+# ---------------------------------------------------------------------------
+# The page
+# ---------------------------------------------------------------------------
+
+_PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>fractal_tpu viewer</title>
+<style>
+ body { margin:0; background:#111; color:#ddd; font:13px sans-serif; overflow:hidden; }
+ #bar { position:fixed; top:0; left:0; right:0; background:#222e; padding:6px 10px;
+        display:flex; gap:14px; align-items:center; flex-wrap:wrap; z-index:2; }
+ #bar label { display:flex; gap:4px; align-items:center; }
+ #img { position:absolute; inset:0; width:100vw; height:100vh; object-fit:contain;
+        image-rendering:pixelated; }
+ #stat { position:fixed; bottom:4px; right:8px; color:#8f8; z-index:2; }
+ input[type=number] { width:70px; }
+ #pad { width:96px; height:96px; background:#333; position:relative; cursor:crosshair; }
+ #dot { width:6px; height:6px; background:#f55; border-radius:3px; position:absolute;
+        transform:translate(-3px,-3px); pointer-events:none; }
+</style></head><body>
+<img id="img">
+<div id="bar">
+ <label>algo <select id="algo">
+   <option>mandelbrot</option><option>julia</option><option>fern</option>
+   <option>multibrot</option><option>burningship</option><option>tricorn</option>
+ </select></label>
+ <label>w <input id="w" type="number" min="16" step="16"></label>
+ <label>h <input id="h" type="number" min="16" step="16"></label>
+ <label>iters <input id="iters" type="number" min="1"></label>
+ <label>exposure <input id="exp" type="range" min="-2" max="3" step="0.01"></label>
+ <label>weight <input id="wgt" type="range" min="-4" max="0" step="0.01"></label>
+ <label><input id="inside" type="checkbox">inside</label>
+ <label><input id="smooth" type="checkbox">smooth</label>
+ <label id="jlab" style="display:none">julia c <span id="pad"><span id="dot"></span></span></label>
+</div>
+<div id="stat"></div>
+<script>
+let scene = null, gen = -1, inflight = false;
+const $ = id => document.getElementById(id);
+
+async function fetchScene() {
+  scene = await (await fetch('/scene')).json();
+  syncControls();
+}
+function syncControls() {
+  $('algo').value = scene.algo;
+  $('w').value = scene.width; $('h').value = scene.height;
+  $('iters').value = scene.iterations;
+  $('exp').value = Math.log10(scene.exposure);
+  $('wgt').value = Math.log10(scene.color_weight);
+  $('inside').checked = scene.inside; $('smooth').checked = scene.smooth;
+  $('jlab').style.display = scene.algo === 'julia' ? 'flex' : 'none';
+  $('dot').style.left = (96*(scene.julia_set[0]+2)/4)+'px';
+  $('dot').style.top  = (96*(scene.julia_set[1]+2)/4)+'px';
+}
+function push() { fetch('/config', {method:'POST', body: JSON.stringify(scene)}); }
+
+async function poll() {
+  for (;;) {
+    try {
+      const r = await fetch('/image?gen=' + gen);
+      const g = parseInt(r.headers.get('X-Gen'));
+      const ms = r.headers.get('X-Render-Ms');
+      if (g !== gen) {
+        const blob = await r.blob();
+        if (blob.size > 0) {
+          $('img').src = URL.createObjectURL(blob);
+          $('stat').textContent = 'render ' + ms + ' ms (gen ' + g + ')';
+        }
+        gen = g;
+      }
+    } catch (e) { await new Promise(r => setTimeout(r, 500)); }
+  }
+}
+
+// controls
+$('algo').onchange = async e => {   // reset ALL settings (gui.rs:334-339)
+  scene = await (await fetch('/reset', {method:'POST',
+      body: JSON.stringify({algo: e.target.value})})).json();
+  syncControls();
+};
+$('w').onchange = e => { scene.width = +e.target.value; push(); };
+$('h').onchange = e => { scene.height = +e.target.value; push(); };
+$('iters').onchange = e => { scene.iterations = +e.target.value; push(); };
+$('exp').oninput = e => { scene.exposure = Math.pow(10, +e.target.value); push(); };
+$('wgt').oninput = e => { scene.color_weight = Math.pow(10, +e.target.value); push(); };
+$('inside').onchange = e => { scene.inside = e.target.checked; push(); };
+$('smooth').onchange = e => { scene.smooth = e.target.checked; push(); };
+$('pad').onmousedown = e => {
+  const r = $('pad').getBoundingClientRect();
+  scene.julia_set = [4*(e.clientX-r.left)/96-2, 4*(e.clientY-r.top)/96-2];
+  syncControls(); push();
+};
+
+// navigation (gui.rs:280-329)
+let lastT = performance.now();
+const keys = {};
+window.addEventListener('keydown', e => {
+  if (e.target.tagName === 'INPUT' || e.target.tagName === 'SELECT') return;
+  keys[e.key] = true;
+  if (e.key === 's' || e.key === 'S') fetch('/screenshot', {method:'POST'});
+  if (e.key === 'm' || e.key === 'M')
+    $('bar').style.display = $('bar').style.display === 'none' ? 'flex' : 'none';
+});
+window.addEventListener('keyup', e => keys[e.key] = false);
+setInterval(() => {
+  const now = performance.now(), dt = (now - lastT) / 1000; lastT = now;
+  if (!scene) return;
+  let moved = false;
+  const sx = 0.5 * dt / scene.scale[0], sy = 0.5 * dt / scene.scale[1];
+  if (keys['ArrowLeft'])  { scene.pos[0] -= sx; moved = true; }
+  if (keys['ArrowRight']) { scene.pos[0] += sx; moved = true; }
+  if (keys['ArrowUp'])    { scene.pos[1] -= sy; moved = true; }
+  if (keys['ArrowDown'])  { scene.pos[1] += sy; moved = true; }
+  if (moved) push();
+}, 60);
+window.addEventListener('wheel', e => {
+  if (!scene) return;
+  const d = Math.abs(e.deltaY) / 2;    // egui scroll units ~ lines*50/2
+  let f;
+  if (e.deltaY < 0) f = 1 + d / 80;                                  // zoom in
+  else f = 1 - Math.min(Math.log10(d / 10 + 1) / 2, 1.0);            // zoom out
+  scene.scale[0] *= f; scene.scale[1] *= f;
+  push();
+});
+
+fetchScene().then(poll);
+</script></body></html>
+"""

@@ -1,0 +1,87 @@
+"""Viewer tests — the reference GUI's defining behaviors (SURVEY.md §2 C16):
+one in-flight render with latest-wins coalescing (gui.rs:37-48), algorithm
+switch resetting all settings (gui.rs:334-339), and the 2× screenshot
+(gui.rs:319-328)."""
+
+import json
+import time
+import urllib.request as rq
+
+import numpy as np
+import pytest
+
+from fractal_tpu.cli import parse_options
+from fractal_tpu.viewer import scene_from_dict, scene_to_dict, start
+from fractal_tpu.config import Scene, RGB
+
+
+def test_scene_json_roundtrip():
+    s = Scene(algo="julia", width=64, height=48, julia_set=(-0.8, 0.156),
+              primary_color=RGB(1, 2, 3))
+    s2 = scene_from_dict(json.loads(json.dumps(scene_to_dict(s))))
+    assert s2 == s
+
+
+@pytest.fixture(scope="module")
+def server():
+    opts = parse_options(["64", "48", "-o", "/tmp/viewer_test_shot",
+                          "--format", "png"])
+    srv = start(opts, port=8791, open_browser=False, block=False)
+    yield "http://127.0.0.1:8791"
+    srv.shutdown()
+
+
+def _get(base, p):
+    r = rq.urlopen(base + p, timeout=60)
+    return r.headers, r.read()
+
+
+def _post(base, p, obj):
+    req = rq.Request(base + p, json.dumps(obj).encode(), method="POST")
+    return json.loads(rq.urlopen(req, timeout=30).read() or b"{}")
+
+
+def test_render_and_coalescing(server):
+    h, png = _get(server, "/image?gen=-1")
+    # wait for the first render
+    for _ in range(120):
+        h, png = _get(server, "/image")
+        if int(h["X-Gen"]) >= 1 and png[:4] == b"\x89PNG":
+            break
+        time.sleep(0.5)
+    g0 = int(h["X-Gen"])
+    assert png[:4] == b"\x89PNG"
+
+    scene = json.loads(_get(server, "/scene")[1])
+    # Make each render slower than the posting burst, else the worker keeps
+    # up and no coalescing is needed (the reference behaves the same).
+    scene["width"], scene["height"] = 512, 512
+    scene["iterations"] = 2000
+    _post(server, "/config", scene)
+    time.sleep(0.1)
+    g0 = int(_get(server, "/image")[0]["X-Gen"])
+    for i in range(15):  # rapid-fire config changes
+        scene["exposure"] = 5.0 + i * 0.01
+        _post(server, "/config", scene)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        time.sleep(1.0)
+        h, _ = _get(server, "/image")
+        # wait until the worker drains (last exposure rendered)
+        if float(h["X-Render-Ms"]) > 0 and int(h["X-Gen"]) >= g0 + 1:
+            break
+    time.sleep(2.0)
+    gend = int(_get(server, "/image")[0]["X-Gen"])
+    assert 1 <= gend - g0 <= 5  # coalesced: nowhere near 15 renders
+    # restore small dims for the remaining tests
+    scene["width"], scene["height"], scene["iterations"] = 64, 48, 50
+    _post(server, "/config", scene)
+
+
+def test_algo_reset_keeps_dims(server):
+    d = _post(server, "/reset", {"algo": "fern"})
+    assert d["algo"] == "fern"
+    assert d["iterations"] == 10_000_000  # Config::new(fern) default
+    assert (d["width"], d["height"]) == (64, 48)
+    assert d["secondary_color"] == [240, 240, 240]
+    _post(server, "/reset", {"algo": "mandelbrot"})
