@@ -195,8 +195,11 @@ def _perturb_tile(xx, yy, P, n_steps, iterations: int,
     """Iterate δz for one tile (or the whole image).
 
     ``load_row(n) -> (8,)-ish row access`` abstracts VMEM vs jnp loading.
-    P (f32): [Ar, Ai, u0, v0, limit², 0, 0, 0].  ``n_steps`` is a traced
-    scalar — orbit length varies per frame without recompiling.
+    P (f32): [Ar, Ai, u0, v0, limit², dc_gain, row_stride, row_offset]
+    (dc_gain 0 for julia — δc enters only through δz₀; stride/offset map
+    device-local rows to global rows for interleaved sharding, identity
+    (1, 0) single-device).  ``n_steps`` is a traced scalar — orbit length
+    varies per frame without recompiling.
 
     Returns (zr, zi, cnt, glitch): full final z, reference-semantics count
     (escape step excluded, calc/src/lib.rs:245-257), glitch flag (i32 0/1)
@@ -286,7 +289,7 @@ def _pert_params(scene, ref_px, width: int, height: int):
     dc_gain = 0.0 if scene.algo == "julia" else 1.0
     return jnp.asarray(
         [float(Ar), float(Ai), float(ref_px[0]), float(ref_px[1]),
-         float(scene.limit) ** 2, dc_gain, 0.0, 0.0],
+         float(scene.limit) ** 2, dc_gain, 1.0, 0.0],
         jnp.float32,
     )
 
@@ -298,6 +301,7 @@ def perturb_whole_jnp(orbit, P, n_steps, *, iterations: int, height: int,
     f32 = jnp.float32
     yy = jax.lax.broadcasted_iota(f32, (height, width), 0)
     xx = jax.lax.broadcasted_iota(f32, (height, width), 1)
+    yy = yy * P[6] + P[7]  # global-row map (sharded stripes); exact int f32s
 
     def load_row(n):
         r = jax.lax.dynamic_slice(orbit, (n, jnp.int32(0)), (1, 8))
@@ -316,6 +320,7 @@ def _build_pert_kernel(iterations: int, tile_h: int, tile_w: int, chunk: int):
         yy = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) + y0).astype(f32)
         xx = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) + x0).astype(f32)
         P = [p_ref[i] for i in range(8)]
+        yy = yy * P[6] + P[7]  # global-row map (sharded stripes)
         n_steps = ns_ref[0]
 
         def load_row(n):

@@ -128,12 +128,83 @@ def render_escape_sharded(scene: Scene, mesh: Optional[Mesh] = None,
     mesh = mesh if mesh is not None else make_mesh()
     precision = precision or resolve_precision(scene)
     if precision == "perturb":
-        precision = "ds32"  # sharded perturbation not wired yet; ds32 is exact to 2^-48
+        return render_perturb_sharded(scene, mesh)
     if precision not in ("f32", "ds32"):
         precision = "f32" if precision == "f32" else "ds32"
     use_pallas = jax.default_backend() not in ("cpu",)
     params = scene_params(scene)
     return _render_escape_sharded_jit(scene, params, precision, use_pallas, mesh)
+
+
+# ---------------------------------------------------------------------------
+# Perturbation: same row-interleaved spatial DP, orbit table replicated
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "h", "w",
+                                             "use_pallas", "mesh"))
+def _perturb_sharded_jit(orbit, P, ns, iterations: int, h: int, w: int,
+                         use_pallas: bool, mesh: Mesh):
+    from fractal_tpu.ops.perturb import perturb_pallas, perturb_whole_jnp
+
+    n = mesh.shape[AXIS]
+    hp = _pad_rows(h, n)
+    rows_local = hp // n
+
+    def local_stripe(orbit, P, ns):
+        d = jax.lax.axis_index(AXIS).astype(jnp.float32)
+        p_local = P.at[6].set(jnp.float32(n)).at[7].set(d)
+        if use_pallas:
+            return perturb_pallas(orbit, p_local, ns, iterations=iterations,
+                                  height=rows_local, width=w)
+        return perturb_whole_jnp(orbit, p_local, ns[0],
+                                 iterations=iterations,
+                                 height=rows_local, width=w)
+
+    zr, zi, cnt, gl = shard_map(
+        local_stripe, mesh=mesh,
+        in_specs=(P_spec(), P_spec(), P_spec()),
+        out_specs=(P_spec(AXIS),) * 4,
+        check_vma=False,
+    )(orbit, P, ns)
+
+    def deint(a):
+        return (a.reshape(n, rows_local, w)
+                .transpose(1, 0, 2).reshape(hp, w)[:h])
+
+    return deint(zr), deint(zi), deint(cnt), deint(gl)
+
+
+def P_spec(*axes):
+    from jax.sharding import PartitionSpec
+
+    return PartitionSpec(*axes)
+
+
+def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None):
+    """Deep-zoom perturbation across the mesh: one host reference orbit,
+    replicated to every device; each device iterates its own interleaved
+    row stripe of f32 δ-orbits; the exact ds32 glitch fallback and the
+    coloring epilogue run once on the gathered result."""
+    from fractal_tpu.ops.perturb import (
+        _apply_fallback, _pert_params, choose_reference, reference_orbit,
+    )
+    from fractal_tpu.render import _color_and_downsample
+
+    mesh = mesh if mesh is not None else make_mesh()
+    ss = scene.supersample
+    h, w = scene.height * ss, scene.width * ss
+    ref_px = choose_reference(scene, w, h)
+    orbit = reference_orbit(scene, ref_px, w, h)
+    P = _pert_params(scene, ref_px, w, h)
+    ns = jnp.asarray([orbit.n_steps], jnp.int32)
+    use_pallas = jax.default_backend() not in ("cpu",)
+    zr, zi, cnt, gl = _perturb_sharded_jit(
+        jnp.asarray(orbit.packed), P, ns, scene.iterations, h, w,
+        use_pallas, mesh,
+    )
+    zr, zi, cnt, _ = _apply_fallback(scene, zr, zi, cnt, gl, w, h)
+    return _color_and_downsample(scene, zr, zi, cnt)
 
 
 # ---------------------------------------------------------------------------

@@ -84,3 +84,17 @@ def test_fern_compat_replicas_mode(mesh):
     # full secondary_color image and the combine is a saturating add, so
     # with N=8 replicas the untouched background saturates to white.
     assert tuple(img[0, 0]) == (255, 255, 255)
+
+
+def test_perturb_sharded_matches_single_device(mesh):
+    """Deep zoom (1e15x, beyond f64) sharded over 8 devices must equal the
+    single-device perturbation render bit-for-bit: the row-interleave map
+    is exact integer f32 arithmetic, and the glitch fallback is shared."""
+    from fractal_tpu.parallel.sharding import render_perturb_sharded
+
+    scene = Scene(width=64, height=44, iterations=200,  # 44: padding path
+                  pos=(-0.74364388703715871, 0.13182590420531198),
+                  scale=(1e15, 1e15), precision="perturb")
+    single = np.asarray(render_u8(scene))
+    sharded = np.asarray(render_perturb_sharded(scene, mesh))
+    np.testing.assert_array_equal(sharded, single)
