@@ -78,28 +78,29 @@ def _cdiv(a: int, b: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def viewport_affine(width: int, height: int, pos, scale) -> Tuple:
+def viewport_affine(width: int, height: int, pos, scale,
+                    dtype=np.float32) -> Tuple:
     """Refactor the reference transform  c = ((u/h) − off)/s + p  into
     c = u·A + C with A = 1/(h·s), C = p − off/s, computed in exact rational
-    arithmetic on the host then split to double-single pairs.
+    arithmetic on the host then split to double-word pairs of ``dtype``.
 
     Exactness matters: at 1e12× zoom the pixel spacing is below f64 epsilon
     relative to C, so A and C are built with Fractions and only *then*
-    rounded — each constant is accurate to the full ds32 precision.
-    Returns ((A_re, C_re), (A_im, C_im)) as dd pairs of np.float32.
+    rounded — each constant is accurate to the full double-word precision.
+    Returns ((A_re, C_re), (A_im, C_im)) as dd pairs.
     """
     out = []
     for axis, (p, s) in enumerate(zip(pos, scale)):
         off = Fraction(width, height * 2) if axis == 0 else Fraction(1, 2)
         a = Fraction(1) / (Fraction(height) * Fraction(float(s)))
         c = Fraction(float(p)) - off / Fraction(float(s))
-        out.append((_split_fraction(a), _split_fraction(c)))
+        out.append((_split_fraction(a, dtype), _split_fraction(c, dtype)))
     return tuple(out)
 
 
-def _split_fraction(v: Fraction) -> Tuple[np.float32, np.float32]:
-    hi = np.float32(float(v))
-    lo = np.float32(float(v - Fraction(float(hi))))
+def _split_fraction(v: Fraction, dtype=np.float32) -> Tuple:
+    hi = dtype(float(v))
+    lo = dtype(float(v - Fraction(float(hi))))
     return hi, lo
 
 
@@ -317,7 +318,10 @@ def _iterate_tile(rep, rule, is_ds: bool, julia: bool, iterations: int,
 
 
 def _rep_rule(algo: str, power: int, precision: str):
-    is_ds = precision == "ds32"
+    # _DS32Rep is dtype-polymorphic (ops/dd.py works on f32 and f64 words):
+    # "dd64" is the same double-word scaffold over f64 pairs (~2^-106) —
+    # CPU-only, since TPUs have no f64 vector path.
+    is_ds = precision in ("ds32", "dd64")
     rep = _DS32Rep if is_ds else _F32Rep
     rule = (algo, power) if is_ds else get_rule(algo, power)
     return rep, rule, is_ds
@@ -365,9 +369,9 @@ def iterate_whole_jnp(params, *, algo: str, power: int, iterations: int,
     # the jnp twin is a fallback/test oracle, so cap its unroll depth.  The
     # Pallas/Mosaic path keeps the swept CHUNK.
     chunk = min(chunk, 16)
-    f32 = jnp.float32
-    yy = jax.lax.broadcasted_iota(f32, (height, width), 0)
-    xx = jax.lax.broadcasted_iota(f32, (height, width), 1)
+    dt = jnp.float64 if precision == "dd64" else jnp.float32
+    yy = jax.lax.broadcasted_iota(dt, (height, width), 0)
+    xx = jax.lax.broadcasted_iota(dt, (height, width), 1)
     P = [params[i] for i in range(16)]
     yy = yy * P[14] + P[15]  # global-row map for sharded stripes (see kernel)
     return _iterate_tile(
@@ -434,8 +438,9 @@ def iterate_params(
     )(params)
 
 
-def scene_params(scene, height: int = None, width: int = None) -> jnp.ndarray:
-    """Host-side (concrete Scene) → the f32[16] scalar block the kernel
+def scene_params(scene, height: int = None, width: int = None,
+                 dtype=jnp.float32) -> jnp.ndarray:
+    """Host-side (concrete Scene) → the [16] scalar block the kernel
     consumes from SMEM.  Layout:
       [0:8]   viewport affine dd pairs (A_re, C_re, A_im, C_im)
       [8]     limit²  (escape threshold on squared distance, calc:246-251)
@@ -448,15 +453,17 @@ def scene_params(scene, height: int = None, width: int = None) -> jnp.ndarray:
     ss = scene.supersample
     height = height if height is not None else scene.height * ss
     width = width if width is not None else scene.width * ss
-    (Ar, Cr), (Ai, Ci) = viewport_affine(width, height, scene.pos, scene.scale)
+    np_dt = np.float64 if dtype == jnp.float64 else np.float32
+    (Ar, Cr), (Ai, Ci) = viewport_affine(width, height, scene.pos,
+                                         scene.scale, np_dt)
     julia = scene.algo == "julia"
-    jr = dd.split_str(repr(float(scene.julia_set[0]))) if julia else (0.0, 0.0)
-    ji = dd.split_str(repr(float(scene.julia_set[1]))) if julia else (0.0, 0.0)
-    limit_sq = np.float32(float(scene.limit)) ** 2
+    jr = dd.split_str(repr(float(scene.julia_set[0])), dtype) if julia else (0.0, 0.0)
+    ji = dd.split_str(repr(float(scene.julia_set[1])), dtype) if julia else (0.0, 0.0)
+    limit_sq = np_dt(float(scene.limit)) ** 2
     return jnp.asarray(
         [Ar[0], Ar[1], Cr[0], Cr[1], Ai[0], Ai[1], Ci[0], Ci[1],
          limit_sq, 0.0, jr[0], jr[1], ji[0], ji[1], 1.0, 0.0],
-        jnp.float32,
+        dtype,
     )
 
 

@@ -154,6 +154,14 @@ def _render_escape(scene: Scene, backend: str = "auto"):
     if backend == "auto":
         on_tpu = jax.default_backend() not in ("cpu",)
         backend = "pallas" if (on_tpu and precision in ("f32", "ds32")) else "jnp"
+    if precision == "dd64":
+        # double-double on f64 words (~2^-106): CPU-only (no f64 vectors on
+        # TPU), runs the whole-image jnp twin of the double-word scaffold.
+        from fractal_tpu.ops.escape_pallas import scene_params
+
+        _ensure_x64()
+        params = scene_params(scene, dtype=jnp.float64)
+        return _render_escape_pallas_jit(scene, params, "dd64", True)
     if backend == "pallas" or precision == "ds32":
         from fractal_tpu.ops.escape_pallas import scene_params
 

@@ -97,3 +97,44 @@ def test_quad_step_orbit_vs_f64():
             break
     assert abs(_val(zr)[0] - wr) < 1e-10 * max(abs(wr), 1.0)
     assert abs(_val(zi)[0] - wi) < 1e-10 * max(abs(wi), 1.0)
+
+
+def test_dd64_render_beyond_f64():
+    """dd64 (double-double on f64 words, ~2^-106) must resolve structure at
+    1e16x zoom where plain f64 collapses every pixel to the same c, and its
+    counts must match direct 45-digit mpmath iteration on sampled pixels."""
+    from fractal_tpu.config import Scene
+    from fractal_tpu.render import render_u8
+    from fractal_tpu.ops.escape_pallas import iterate_whole_jnp, scene_params
+    from fractal_tpu.ops.perturb import _affine_fractions
+    from tests.test_perturb import _mpmath_count
+    import jax.numpy as jnp
+
+    # window straddling the needle tip at c = -2: the boundary crosses the
+    # view, counts vary (30..139) and stay well-conditioned (cheap mpmath).
+    w, h = 16, 12
+    scene = Scene(width=w, height=h, iterations=300,
+                  pos=(-2.0, 0.0),
+                  scale=(1e16, 1e16), precision="dd64")
+    params = scene_params(scene, h, w, dtype=jnp.float64)
+    _, _, cnt = jax.jit(
+        lambda p: iterate_whole_jnp(p, algo="mandelbrot", power=2,
+                                    iterations=300, precision="dd64",
+                                    height=h, width=w)
+    )(params)
+    cnt = np.asarray(cnt)
+    assert len(np.unique(cnt)) > 1  # resolves sub-f64 structure
+    (Ar, Cr), (Ai, Ci) = _affine_fractions(w, h, scene.pos, scene.scale)
+    checked = 0
+    for (x, y) in [(0, 0), (8, 6), (15, 11), (3, 9), (5, 2), (12, 6)]:
+        truth = _mpmath_count(Ar * x + Cr, Ai * y + Ci, 300, scene.limit)
+        # pixels that never escape sit ON the needle (measure-zero,
+        # infinitely ill-conditioned: the center pixel is exactly c = -2);
+        # compare only escaping, well-conditioned samples.
+        if truth < 250:
+            assert cnt[y, x] == truth, (x, y, cnt[y, x], truth)
+            checked += 1
+    assert checked >= 3
+
+    img = np.asarray(render_u8(scene))  # full pipeline routes dd64
+    assert img.shape == (12, 16, 3)
