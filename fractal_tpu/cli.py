@@ -42,6 +42,9 @@ class Options:
     fmt: str = "avif"
     profile: bool = False
     backend: str = "auto"
+    trace: str = None
+    bands: int = 0
+    ckpt_dir: str = None
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -117,9 +120,18 @@ def build_parser() -> argparse.ArgumentParser:
                           "reference's swapped channel order.")
     ext.add_argument("--profile", action="store_true",
                      help="Print per-phase timing (kernel / transfer / encode).")
+    ext.add_argument("--trace", default=None, metavar="DIR",
+                     help="Capture a jax.profiler trace of the render into "
+                          "DIR (view with TensorBoard / xprof).")
     ext.add_argument("--backend", default="auto",
                      choices=("auto", "jnp", "pallas"),
                      help="Kernel backend selection.")
+    ext.add_argument("--bands", type=int, default=0, metavar="ROWS",
+                     help="Render in horizontal bands of ROWS rows "
+                          "(checkpoint/resume for huge images; 0 = one shot).")
+    ext.add_argument("--checkpoint-dir", dest="ckpt_dir", default=None,
+                     help="With --bands: persist finished bands here and "
+                          "resume interrupted renders.")
     return p
 
 
@@ -189,4 +201,7 @@ def parse_options(argv: Optional[List[str]] = None) -> Options:
         fmt=args.fmt,
         profile=args.profile,
         backend=args.backend,
+        trace=args.trace,
+        bands=args.bands,
+        ckpt_dir=args.ckpt_dir,
     )

@@ -145,6 +145,30 @@ def _render_escape_pallas_jit(scene: Scene, params, precision: str, interpret: b
     return _color_and_downsample(scene, zr, zi, cnt)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("precision", "interpret", "rows"))
+def _render_band_jit(scene: Scene, params, precision: str, interpret: bool,
+                     rows: int):
+    """One horizontal band of the supersampled grid (see fractal_tpu.tiled):
+    `params[15]` carries the global start row, so this is the same program
+    as the full render addressed through the exact global-row map."""
+    from fractal_tpu.ops.escape_pallas import iterate_params
+
+    w = scene.width * scene.supersample
+    zr, zi, cnt = iterate_params(
+        params,
+        algo=scene.algo,
+        power=scene.power,
+        iterations=scene.iterations,
+        height=rows,
+        width=w,
+        precision=precision,
+        interpret=interpret,
+        periodicity=not scene.inside,
+    )
+    return _color_and_downsample(scene, zr, zi, cnt)
+
+
 def _render_escape(scene: Scene, backend: str = "auto"):
     precision = resolve_precision(scene)
     if precision == "perturb":

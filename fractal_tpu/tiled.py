@@ -1,0 +1,103 @@
+"""Banded rendering with checkpoint/resume — for huge ("100MP+") renders.
+
+The reference renders one-shot and has no resume (SURVEY.md §5); for
+multi-minute posters a crash costs everything.  Here the image is rendered
+in horizontal bands: each band is an independent kernel launch whose rows
+are addressed through the kernel's exact (stride=1, offset=start_row)
+global-row map, so the banded result is bit-identical to the one-shot
+render.  Completed bands are written to a checkpoint directory as they
+finish; a rerun skips them and assembles the rest.
+
+Escape-time scenes only (the fern's chaos game is a global scatter — no
+spatial decomposition to band).  Perturbation scenes fall back to the
+one-shot path (the orbit/glitch machinery is global).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fractal_tpu.config import Scene
+
+
+def _band_u8(scene: Scene, start_row: int, rows: int, precision: str,
+             use_pallas: bool):
+    """Render global rows [start_row, start_row+rows) of the supersampled
+    grid, colored and downsampled — shapes static per band size."""
+    from fractal_tpu.ops.escape_pallas import scene_params
+    from fractal_tpu.render import _render_band_jit
+
+    dtype = jnp.float64 if precision == "dd64" else jnp.float32
+    params = scene_params(scene, dtype=dtype)
+    params = params.at[15].set(float(start_row))
+    return _render_band_jit(scene, params, precision, not use_pallas, rows)
+
+
+def render_tiled(scene: Scene, band_rows: int = 512,
+                 ckpt_dir: Optional[str] = None,
+                 progress: Optional[Callable[[str], None]] = None) -> np.ndarray:
+    """Render `scene` in row bands with optional checkpoint/resume.
+
+    Returns the assembled (height, width, 3) uint8 host image.  With
+    `ckpt_dir`, finished bands are persisted as ``band_<i>.npy`` plus a
+    manifest; a rerun with the same scene resumes after the last completed
+    band.  A manifest whose scene hash differs aborts (stale directory).
+    """
+    from fractal_tpu.render import resolve_precision
+
+    if scene.algo == "fern":
+        raise ValueError("banded rendering applies to escape-time scenes; "
+                         "the fern chaos game is a global scatter")
+    precision = resolve_precision(scene)
+    if precision == "perturb":
+        from fractal_tpu.render import render_u8
+
+        return np.asarray(jax.device_get(render_u8(scene)))
+
+    ss = scene.supersample
+    h = scene.height * ss
+    band_rows = max(ss, (band_rows // ss) * ss)  # keep downsample aligned
+    n_bands = -(-h // band_rows)
+    use_pallas = jax.default_backend() not in ("cpu",)
+
+    scene_key = repr(sorted(
+        (k, str(v)) for k, v in scene.__dict__.items()
+    )) + f"|{precision}|{band_rows}"
+    manifest_path = os.path.join(ckpt_dir, "manifest.json") if ckpt_dir else None
+    done = set()
+    if ckpt_dir:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        if os.path.exists(manifest_path):
+            m = json.load(open(manifest_path))
+            if m.get("scene_key") != scene_key:
+                raise ValueError(
+                    f"checkpoint dir {ckpt_dir} holds a different render "
+                    "(scene/precision/band mismatch); use a fresh directory")
+            done = set(m.get("done", []))
+
+    bands = []
+    for b in range(n_bands):
+        start = b * band_rows
+        rows = min(band_rows, h - start)
+        band_path = (os.path.join(ckpt_dir, f"band_{b}.npy")
+                     if ckpt_dir else None)
+        if b in done and band_path and os.path.exists(band_path):
+            band = np.load(band_path)
+        else:
+            band = np.asarray(jax.device_get(
+                _band_u8(scene, start, rows, precision, use_pallas)))
+            if ckpt_dir:
+                np.save(band_path, band)
+                done.add(b)
+                json.dump({"scene_key": scene_key, "done": sorted(done)},
+                          open(manifest_path, "w"))
+            if progress:
+                progress(f"band {b + 1}/{n_bands} ({rows} rows)")
+        bands.append(band)
+    return np.concatenate(bands, axis=0)

@@ -1,0 +1,69 @@
+"""Banded checkpoint/resume rendering tests (fractal_tpu.tiled).
+
+Contract: banded output is bit-identical to the one-shot params-path
+render (the band start rides the kernel's exact global-row map), resume
+skips completed bands, and a stale checkpoint directory is rejected.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fractal_tpu.config import Scene
+from fractal_tpu.render import render_u8
+from fractal_tpu.tiled import render_tiled
+
+
+SCENE = Scene(width=64, height=96, iterations=80,
+              pos=(-0.6, 0.0), scale=(0.4, 0.4), precision="ds32")
+
+
+def test_banded_matches_one_shot():
+    one = np.asarray(render_u8(SCENE))
+    banded = render_tiled(SCENE, band_rows=40)  # uneven last band
+    np.testing.assert_array_equal(banded, one)
+
+
+def test_checkpoint_and_resume(tmp_path):
+    d = str(tmp_path / "ckpt")
+    full = render_tiled(SCENE, band_rows=32, ckpt_dir=d)
+    m = json.load(open(os.path.join(d, "manifest.json")))
+    assert sorted(m["done"]) == [0, 1, 2]
+
+    # simulate an interrupted run: drop the last band, keep the first two
+    os.remove(os.path.join(d, "band_2.npy"))
+    m["done"] = [0, 1]
+    json.dump(m, open(os.path.join(d, "manifest.json"), "w"))
+    # poison band 0 on disk: resume must trust it (proves bands 0/1 are
+    # loaded from the checkpoint, not recomputed)
+    poisoned = np.load(os.path.join(d, "band_0.npy"))
+    poisoned[0, 0] = [1, 2, 3]
+    np.save(os.path.join(d, "band_0.npy"), poisoned)
+
+    resumed = render_tiled(SCENE, band_rows=32, ckpt_dir=d)
+    assert tuple(resumed[0, 0]) == (1, 2, 3)        # came from checkpoint
+    np.testing.assert_array_equal(resumed[32:], full[32:])  # rest matches
+
+
+def test_stale_checkpoint_rejected(tmp_path):
+    d = str(tmp_path / "ckpt")
+    render_tiled(SCENE, band_rows=32, ckpt_dir=d)
+    other = SCENE.replace(iterations=81)
+    with pytest.raises(ValueError, match="different render"):
+        render_tiled(other, band_rows=32, ckpt_dir=d)
+
+
+def test_supersample_band_alignment():
+    scene = SCENE.replace(supersample=2, height=48)
+    one = np.asarray(render_u8(scene))
+    banded = render_tiled(scene, band_rows=33)  # rounded down to 32 (mult of 2)
+    np.testing.assert_array_equal(banded, one)
+
+
+def test_fern_rejected():
+    from fractal_tpu.config import scene_defaults
+
+    with pytest.raises(ValueError, match="fern"):
+        render_tiled(scene_defaults("fern"))
