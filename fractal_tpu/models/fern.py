@@ -54,10 +54,22 @@ _FERN_COEFFS = np.array(
     dtype=np.float32,
 )
 
-DEFAULT_WALKERS = 8192
-BURN_IN = 16  # steps walked but not plotted while walkers settle onto the
-#               attractor; the reference's single walker plots its (tiny)
-#               transient, but K parallel walkers would amplify it K-fold.
+# Swept on a v5e chip (100M-step fern, 2000²): 8192 walkers: 3.9 s,
+# 65536: 1.5 s, 262144: 1.6 s — more walkers amortize per-step scan/RNG
+# overhead until the scatter-add saturates.
+DEFAULT_WALKERS = 65536
+
+
+def _burn_in(scene: Scene, width: int, height: int) -> int:
+    """Steps walked but not plotted while walkers settle onto the attractor.
+
+    The reference's single walker plots its transient (a ~50-point streak in
+    10M points — invisible), but K parallel walkers all start at the same
+    (pos.re·W, pos.im·H) and would amplify it K-fold into a solid artifact.
+    The slowest IFS contraction is 0.85/step, so burn until the start
+    distance shrinks below a tenth of a pixel, plus a safety margin."""
+    d = max(abs(scene.pos[0]) * width, abs(scene.pos[1]) * height, 1.0)
+    return 16 + int(math.log(10.0 * d) / math.log(1.0 / 0.85))
 
 
 def darkening_curve(background, primary, weight: float) -> np.ndarray:
@@ -89,7 +101,8 @@ def darkening_curve(background, primary, weight: float) -> np.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "walkers", "steps", "replicas")
+    jax.jit, static_argnames=("width", "height", "walkers", "steps",
+                              "replicas", "burn_in")
 )
 def _fern_hits(
     scene: Scene,
@@ -99,6 +112,7 @@ def _fern_hits(
     steps: int,
     replicas: int,
     seed,
+    burn_in: int = 64,
 ):
     """Run the chaos game; return per-replica hit-count grids
     (replicas, H, W) int32."""
@@ -156,7 +170,7 @@ def _fern_hits(
         key = jax.random.fold_in(key0, rep_idx)
         hist = jnp.zeros((width * height,), jnp.int32)
         carry = (x0, y0, key, hist)
-        carry, _ = jax.lax.scan(burn_body, carry, None, length=BURN_IN)
+        carry, _ = jax.lax.scan(burn_body, carry, None, length=burn_in)
         carry, _ = jax.lax.scan(scan_body, carry, None, length=steps)
         return carry[3].reshape(height, width)
 
@@ -187,7 +201,8 @@ def render_fern(scene: Scene, walkers: int = DEFAULT_WALKERS):
     steps = max(1, per_replica // k)
 
     hits = _fern_hits(
-        scene, scene.width, scene.height, k, steps, replicas, scene.seed
+        scene, scene.width, scene.height, k, steps, replicas, scene.seed,
+        burn_in=_burn_in(scene, scene.width, scene.height),
     )
     curve = darkening_curve(
         scene.secondary_color.as_tuple(),

@@ -214,10 +214,11 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("walkers", "steps", "mesh", "compat_replicas"),
+    static_argnames=("walkers", "steps", "mesh", "compat_replicas", "burn_in"),
 )
 def _render_fern_sharded_jit(scene: Scene, walkers: int, steps: int,
-                             mesh: Mesh, compat_replicas: bool, curve):
+                             mesh: Mesh, compat_replicas: bool, curve,
+                             burn_in: int = 64):
     from fractal_tpu.models.fern import _fern_hits
 
     n = mesh.shape[AXIS]
@@ -228,7 +229,7 @@ def _render_fern_sharded_jit(scene: Scene, walkers: int, steps: int,
         # fern.py's one_replica — device index plays the replica index.
         hits = _fern_hits(
             scene, scene.width, scene.height, walkers, steps, 1,
-            scene.seed + d * 7919,
+            scene.seed + d * 7919, burn_in=burn_in,
         )[0]
         if compat_replicas:
             # Reference N-thread mode (src/lib.rs:271-319): darken each
@@ -262,9 +263,13 @@ def render_fern_sharded(scene: Scene, mesh: Optional[Mesh] = None,
     per_dev = max(1, scene.iterations // n)
     k = int(min(walkers, per_dev))
     steps = max(1, per_dev // k)
+    from fractal_tpu.models.fern import _burn_in
+
     curve = jnp.asarray(darkening_curve(
         scene.secondary_color.as_tuple(),
         scene.primary_color.as_tuple(),
         float(scene.color_weight),
     ))
-    return _render_fern_sharded_jit(scene, k, steps, mesh, compat_replicas, curve)
+    return _render_fern_sharded_jit(
+        scene, k, steps, mesh, compat_replicas, curve,
+        burn_in=_burn_in(scene, scene.width, scene.height))

@@ -90,3 +90,27 @@ def test_color_weight_darkens():
     a = render(_small_scene(color_weight=0.01))
     b = render(_small_scene(color_weight=0.2))
     assert b.mean() < a.mean()
+
+
+def test_fern_offset_start_no_transient_artifacts():
+    """Regression: with the CLI's default pos=(-0.6, 0) all walkers start at
+    x = -0.6*W (far off-attractor); burn-in must scale with the start
+    distance or 65536 parallel transients blacken column 0."""
+    import numpy as np
+    from fractal_tpu.config import scene_defaults
+    from fractal_tpu.models.fern import render_fern
+
+    scene = scene_defaults("fern").replace(
+        width=200, height=200, iterations=1_000_000, pos=(-0.6, 0.0))
+    img = np.asarray(render_fern(scene))
+    assert tuple(img[0, 0]) == (240, 240, 240)     # corner is background
+    assert tuple(img[-1, 0]) == (240, 240, 240)
+    # column 0 collects every off-left transient point (Rust `as usize`
+    # clamp, src/lib.rs:433-437): it must stay clean
+    col0_dark = (img[:, 0].sum(-1) < 600).mean()
+    assert col0_dark < 0.05, f"transient streak on column 0: {col0_dark:.2f}"
+    # overall density must match the centered fern (no transient inflation)
+    centered = np.asarray(render_fern(scene.replace(pos=(0.0, 0.0))))
+    d_off = (img.sum(-1) < 600).mean()
+    d_ctr = (centered.sum(-1) < 600).mean()
+    assert abs(d_off - d_ctr) < 0.05, (d_off, d_ctr)
