@@ -219,7 +219,12 @@ def to_float(x: DD):
 
 def _split(a):
     """Dekker/Veltkamp split: a = h + l with h holding the top half of the
-    mantissa, both halves multiplying exactly in one word.  4 flops."""
+    mantissa, both halves multiplying exactly in one word.  4 flops.
+
+    (A 2-op bitmask truncation split was tried and measured: it leaves the
+    low half with p/2 bits instead of Veltkamp's p/2−1 — the round-to-
+    nearest in ``a·s`` absorbs a half-ulp into h — and that one extra bit
+    breaks the exactness of the Dekker error recurrences by ~2⁻³⁴.)"""
     s = a * _split_const(jnp.result_type(a))
     h = s - (s - a)
     return h, a - h

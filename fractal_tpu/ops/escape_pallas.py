@@ -278,16 +278,19 @@ def _iterate_tile(rep, rule, is_ds: bool, julia: bool, iterations: int,
     # wider than the 2¹⁶ escape radius — freezes at cnt 0 without one
     # update; the reference would take one step first.  Unreachable with
     # sane scales; documented divergence.)
-    def _active(z, cnt):
-        return (rep.dist(z) <= limit_sq) & (cnt < iterations)
+    # The frozen-state distance is carried through the loop (recomputing
+    # rep.dist(z) per step costs more than the one select to maintain it).
+    def _active(d, cnt):
+        return (d <= limit_sq) & (cnt < iterations)
 
     def one_step(n, state):
-        z, snap, cnt = state
-        active = _active(z, cnt)
+        z, snap, d, cnt = state
+        active = _active(d, cnt)
         nz = rep.step(rule, z, c)
-        d = rep.dist(nz)
-        esc_now = active & (d > limit_sq)
+        nd = rep.dist(nz)
+        esc_now = active & (nd > limit_sq)
         z = rep.select(active, nz, z)
+        d = jnp.where(active, nd, d)
         cnt = cnt + (active & ~esc_now)
         if periodicity:
             per_now = active & ~esc_now & (rep.diff_dist(nz, snap) < eps_sq)
@@ -295,7 +298,7 @@ def _iterate_tile(rep, rule, is_ds: bool, julia: bool, iterations: int,
             # Brent schedule: snapshot at n = 1, 2, 4, 8, ... (n>=1)
             take = (n >= 1) & ((n & (n - 1)) == 0)
             snap = rep.select(jnp.broadcast_to(take & active, shape), z, snap)
-        return z, snap, cnt
+        return z, snap, d, cnt
 
     def chunk_body(carry):
         state, k = carry
@@ -306,12 +309,13 @@ def _iterate_tile(rep, rule, is_ds: bool, julia: bool, iterations: int,
         return state, k + 1
 
     def chunk_cond(carry):
-        (z, snap, cnt), k = carry
-        return (k < n_chunks) & jnp.any(_active(z, cnt))
+        (z, snap, d, cnt), k = carry
+        return (k < n_chunks) & jnp.any(_active(d, cnt))
 
     snap0 = z0 if periodicity else ()
-    (z, snap, cnt), _ = jax.lax.while_loop(
-        chunk_cond, chunk_body, ((z0, snap0, cnt0), jnp.int32(0))
+    d0 = rep.dist(z0)
+    (z, snap, d, cnt), _ = jax.lax.while_loop(
+        chunk_cond, chunk_body, ((z0, snap0, d0, cnt0), jnp.int32(0))
     )
     zr, zi = rep.collapse(z)
     return zr, zi, cnt
