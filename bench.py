@@ -112,6 +112,12 @@ def main():
             "fern_100M": scene_defaults("fern").replace(
                 width=2000, height=2000, iterations=100_000_000,
             ),
+            # beyond the reference's f64 wall: perturbation w/ mpmath orbit
+            "perturb_1080p_1e15": Scene(
+                width=1920, height=1080, iterations=5000,
+                pos=(-0.74364388703715871, 0.13182590420531198),
+                scale=(1e15, 1e15), inside=False,
+            ),
         }
         for name, sc in extras.items():
             try:

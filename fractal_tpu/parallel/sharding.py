@@ -145,7 +145,9 @@ def render_escape_sharded(scene: Scene, mesh: Optional[Mesh] = None,
                                              "use_pallas", "mesh"))
 def _perturb_sharded_jit(orbit, P, ns, iterations: int, h: int, w: int,
                          use_pallas: bool, mesh: Mesh):
-    from fractal_tpu.ops.perturb import perturb_pallas, perturb_whole_jnp
+    from fractal_tpu.ops.perturb import (
+        PERT_CHUNK, PERT_CHUNK_CPU, perturb_whole_jnp,
+    )
 
     n = mesh.shape[AXIS]
     hp = _pad_rows(h, n)
@@ -154,12 +156,10 @@ def _perturb_sharded_jit(orbit, P, ns, iterations: int, h: int, w: int,
     def local_stripe(orbit, P, ns):
         d = jax.lax.axis_index(AXIS).astype(jnp.float32)
         p_local = P.at[6].set(jnp.float32(n)).at[7].set(d)
-        if use_pallas:
-            return perturb_pallas(orbit, p_local, ns, iterations=iterations,
-                                  height=rows_local, width=w)
-        return perturb_whole_jnp(orbit, p_local, ns[0],
-                                 iterations=iterations,
-                                 height=rows_local, width=w)
+        return perturb_whole_jnp(
+            orbit, p_local, ns[0], iterations=iterations,
+            height=rows_local, width=w,
+            chunk=PERT_CHUNK if use_pallas else PERT_CHUNK_CPU)
 
     zr, zi, cnt, gl = shard_map(
         local_stripe, mesh=mesh,

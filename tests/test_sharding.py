@@ -98,3 +98,12 @@ def test_perturb_sharded_matches_single_device(mesh):
     single = np.asarray(render_u8(scene))
     sharded = np.asarray(render_perturb_sharded(scene, mesh))
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_multihost_helpers_single_process():
+    from fractal_tpu.parallel import multihost
+
+    multihost.initialize()  # no-op in a single process
+    assert not multihost.is_multihost()
+    lo, hi = multihost.local_row_range(100)
+    assert (lo, hi) == (0, 100)
