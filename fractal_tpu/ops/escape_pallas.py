@@ -31,7 +31,6 @@ compute garbage that is masked off by Pallas' clipped output writes.
 
 from __future__ import annotations
 
-import functools
 from fractions import Fraction
 from typing import Tuple
 

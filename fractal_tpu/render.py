@@ -22,7 +22,6 @@ resolves one pixel, by pixel spacing 1/(height·scale):
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
