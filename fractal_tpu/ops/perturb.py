@@ -315,6 +315,122 @@ def _perturb_tile(xx, yy, P, n_steps, iterations: int,
     return zfr, zfi, cnt, gl
 
 
+def _perturb_tile_bla(xx, yy, P, n_steps, iterations: int, chunk: int,
+                      load_block, bla_packed, bla_offsets, bla_min_level: int):
+    """BLA-accelerated variant of ``_perturb_tile`` (whole-image XLA only).
+
+    The loop advances by *macro steps*: if every live pixel sits inside the
+    validity radius of a bilinear table entry at the current (shared) index
+    n, the whole image jumps 2^k steps with one complex mul-add; otherwise
+    it falls back to a plain chunk.  Escapes/glitches cannot occur inside a
+    valid skip (validity keeps |δz| ≪ |Z|, see ops/bla.py), so the
+    reference count semantics are preserved exactly.
+    """
+    f32 = jnp.float32
+    Ar, Ai, u0, v0, limit_sq = P[0], P[1], P[2], P[3], P[4]
+    dcr = (xx - u0) * Ar
+    dci = (yy - v0) * Ai
+
+    block0 = load_block(jnp.int32(0))
+    zfr0 = block0[0, 0] + dcr
+    zfi0 = block0[0, 1] + dci
+    dzr0, dzi0 = dcr, dci
+    cnt0 = jnp.zeros(xx.shape, jnp.int32)
+    gl0 = jnp.zeros(xx.shape, jnp.int32)
+
+    def _active(zfr, zfi, cnt, gl, n):
+        return ((zfr * zfr + zfi * zfi <= limit_sq) & (cnt == n) & (gl == 0))
+
+    def one_step(n, row, state):
+        dzr, dzi, zfr, zfi, cnt, gl = state
+        live = _active(zfr, zfi, cnt, gl, n) & (n < n_steps)
+        Zr, Zi, Zr1, Zi1, gtol = row[0], row[1], row[2], row[3], row[4]
+        tr = 2.0 * Zr + dzr
+        ti = 2.0 * Zi + dzi
+        ndzr = tr * dzr - ti * dzi + dcr * P[5]
+        ndzi = tr * dzi + ti * dzr + dci * P[5]
+        nzfr = Zr1 + ndzr
+        nzfi = Zi1 + ndzi
+        d = nzfr * nzfr + nzfi * nzfi
+        esc_now = d > limit_sq
+        gl_now = live & (~esc_now) & (d < gtol)
+        dzr = jnp.where(live, ndzr, dzr)
+        dzi = jnp.where(live, ndzi, dzi)
+        zfr = jnp.where(live, nzfr, zfr)
+        zfi = jnp.where(live, nzfi, zfi)
+        cnt = cnt + (live & ~esc_now & ~gl_now)
+        gl = gl | gl_now.astype(jnp.int32)
+        return dzr, dzi, zfr, zfi, cnt, gl
+
+    def macro_body(carry):
+        (dzr, dzi, zfr, zfi, cnt, gl), n = carry
+        live = _active(zfr, zfi, cnt, gl, n) & (n < n_steps)
+        m2 = jnp.max(jnp.where(live, dzr * dzr + dzi * dzi, 0.0))
+        # pick the LARGEST valid level (static unrolled scan, few scalars)
+        sAr = jnp.float32(0.0); sAi = jnp.float32(0.0)
+        sBr = jnp.float32(0.0); sBi = jnp.float32(0.0)
+        skip = jnp.int32(0)
+        for lev in range(len(bla_offsets) - 1, -1, -1):
+            k = lev + bla_min_level
+            step = 1 << k
+            idx = bla_offsets[lev] + (n >> k)
+            row = jax.lax.dynamic_slice(bla_packed, (idx, jnp.int32(0)), (1, 8))
+            ok = (
+                (skip == 0)
+                & ((n & (step - 1)) == 0)
+                & (n + step <= n_steps)
+                & (m2 < row[0, 4])
+            )
+            sAr = jnp.where(ok, row[0, 0], sAr)
+            sAi = jnp.where(ok, row[0, 1], sAi)
+            sBr = jnp.where(ok, row[0, 2], sBr)
+            sBi = jnp.where(ok, row[0, 3], sBi)
+            skip = jnp.where(ok, jnp.int32(step), skip)
+
+        # Masked skip THEN a plain chunk, unconditionally — lax.cond would
+        # split the body into separate computations and double the while-
+        # state HBM traffic (measured 4× slower).  The masked skip costs
+        # ~10 extra vector ops per macro step; when it fires it advances n
+        # by up to 2^levels on top of the chunk's 64.
+        upd = live & (skip > 0)
+        ndzr = sAr * dzr - sAi * dzi + (sBr * dcr - sBi * dci) * P[5]
+        ndzi = sAr * dzi + sAi * dzr + (sBr * dci + sBi * dcr) * P[5]
+        rowz = load_block(n + skip)  # Z_{n+skip} is col 0/1 of its row
+        dzr = jnp.where(upd, ndzr, dzr)
+        dzi = jnp.where(upd, ndzi, dzi)
+        zfr = jnp.where(upd, rowz[0, 0] + ndzr, zfr)
+        zfi = jnp.where(upd, rowz[0, 1] + ndzi, zfi)
+        cnt = cnt + jnp.where(upd, skip, 0)
+        n = n + skip
+
+        state = (dzr, dzi, zfr, zfi, cnt, gl)
+        block = load_block(n)
+        for i in range(chunk):
+            row = [block[i, j] for j in range(5)]
+            state = one_step(n + i, row, state)
+        return state, n + jnp.int32(chunk)
+
+    def macro_cond(carry):
+        (dzr, dzi, zfr, zfi, cnt, gl), n = carry
+        return (
+            (n < iterations)
+            & (n < n_steps)
+            & jnp.any(_active(zfr, zfi, cnt, gl, n))
+        )
+
+    state0 = (dzr0, dzi0, zfr0, zfi0, cnt0, gl0)
+    (dzr, dzi, zfr, zfi, cnt, gl), _ = jax.lax.while_loop(
+        macro_cond, macro_body, (state0, jnp.int32(0))
+    )
+    ran_out = (
+        (zfr * zfr + zfi * zfi <= limit_sq)
+        & (cnt >= n_steps)
+        & (n_steps < iterations)
+    )
+    gl = gl | ran_out.astype(jnp.int32)
+    return zfr, zfi, cnt, gl
+
+
 def _pert_params(scene, ref_px, width: int, height: int):
     (Ar, Cr), (Ai, Ci) = _affine_fractions(width, height, scene.pos, scene.scale)
     dc_gain = 0.0 if scene.algo == "julia" else 1.0
@@ -325,10 +441,15 @@ def _pert_params(scene, ref_px, width: int, height: int):
     )
 
 
+BLA_MIN_LEVEL = 6  # smallest stored skip = 64 = PERT_CHUNK, so skips always
+#                    beat plain chunks and stay chunk-aligned
+
+
 @functools.partial(jax.jit, static_argnames=("iterations", "height", "width",
-                                             "chunk"))
+                                             "chunk", "bla_offsets"))
 def perturb_whole_jnp(orbit, P, n_steps, *, iterations: int, height: int,
-                      width: int, chunk: int = PERT_CHUNK_CPU):
+                      width: int, chunk: int = PERT_CHUNK_CPU,
+                      bla_packed=None, bla_offsets=None):
     """Whole-image XLA program for the δ-orbit iteration.
 
     This is the production TPU path, not just an oracle: measured 4× faster
@@ -348,6 +469,10 @@ def perturb_whole_jnp(orbit, P, n_steps, *, iterations: int, height: int,
         start = jnp.minimum(n0, jnp.int32(rows - chunk))
         return jax.lax.dynamic_slice(orbit, (start, jnp.int32(0)), (chunk, 8))
 
+    if bla_packed is not None:
+        return _perturb_tile_bla(xx, yy, P, n_steps, iterations, chunk,
+                                 load_block, bla_packed, bla_offsets,
+                                 BLA_MIN_LEVEL)
     return _perturb_tile(xx, yy, P, n_steps, iterations, chunk, load_block)
 
 
@@ -488,17 +613,19 @@ def iterate_perturb(scene, height: int, width: int, use_pallas: bool):
     return zr, zi, cnt, n_glitch
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "chunk"))
+@functools.partial(jax.jit, static_argnames=("height", "width", "chunk",
+                                             "bla_offsets"))
 def _render_perturb_jit(scene, orbit, P, n_steps, *, height: int, width: int,
-                        chunk: int):
+                        chunk: int, bla_packed=None, bla_offsets=None):
     """One fused device program: δ-orbit iteration → coloring → glitch
-    count.  A tunneled TPU link pays ~0.3 s latency per dispatch, so the
-    happy path (no glitches) must be exactly one program + two fetches."""
+    count.  A tunneled TPU link pays ~0.3 s per dispatch, so the happy
+    path (no glitches) must be exactly one program + two fetches."""
     from fractal_tpu.render import _color_and_downsample
 
     zr, zi, cnt, gl = perturb_whole_jnp(
         orbit, P, n_steps,
         iterations=scene.iterations, height=height, width=width, chunk=chunk,
+        bla_packed=bla_packed, bla_offsets=bla_offsets,
     )
     img = _color_and_downsample(scene, zr, zi, cnt)
     return img, jnp.sum(gl, dtype=jnp.int32), zr, zi, cnt, gl
@@ -527,6 +654,30 @@ def _fallback_and_color_jit(scene, params16, zr, zi, cnt, gl, *, kpad: int,
     return _color_and_downsample(scene, zr, zi, cnt)
 
 
+_BLA_CACHE: dict = {}
+
+
+def _bla_for(scene, orbit, ref_px, width: int, height: int):
+    """Build (cached) the BLA merge tree for this orbit/view."""
+    from fractal_tpu.ops.bla import build_table
+
+    key = _orbit_key(scene, ref_px, width, height)
+    hit = _BLA_CACHE.get(key)
+    if hit is not None:
+        return hit
+    (Ar, _), (Ai, _) = _affine_fractions(width, height, scene.pos, scene.scale)
+    u0, v0 = ref_px
+    dcr_max = max(u0, width - 1 - u0) * abs(float(Ar))
+    dci_max = max(v0, height - 1 - v0) * abs(float(Ai))
+    dc_max = math.hypot(dcr_max, dci_max)
+    table = build_table(orbit.packed[:, :2], orbit.n_steps, scene.iterations,
+                        dc_max, min_level=BLA_MIN_LEVEL)
+    if len(_BLA_CACHE) >= _ORBIT_CACHE_MAX:
+        _BLA_CACHE.pop(next(iter(_BLA_CACHE)))
+    _BLA_CACHE[key] = table
+    return table
+
+
 def render_perturb(scene):
     """Full perturbation render → (H, W, 3) uint8 device array."""
     ss = scene.supersample
@@ -535,9 +686,11 @@ def render_perturb(scene):
     ref_px = choose_reference(scene, w, h)
     orbit = reference_orbit(scene, ref_px, w, h)
     P = _pert_params(scene, ref_px, w, h)
+    bla = _bla_for(scene, orbit, ref_px, w, h)
     img, n_gl, zr, zi, cnt, gl = _render_perturb_jit(
         scene, jnp.asarray(orbit.packed), P, jnp.int32(orbit.n_steps),
         height=h, width=w, chunk=PERT_CHUNK if on_accel else PERT_CHUNK_CPU,
+        bla_packed=jnp.asarray(bla.packed), bla_offsets=bla.offsets,
     )
     n = int(n_gl)
     if n == 0:
