@@ -468,26 +468,3 @@ def scene_params(scene, height: int = None, width: int = None,
          limit_sq, 0.0, jr[0], jr[1], ji[0], ji[1], 1.0, 0.0],
         dtype,
     )
-
-
-def iterate_pallas(scene, height: int, width: int, precision: str,
-                   interpret: bool = False):
-    """Pallas analog of ops.escape_jnp.iterate for a whole (concrete) Scene.
-
-    Returns (zr, zi, cnt) float32/int32 arrays of shape (height, width) with
-    the reference count semantics (count = escape iteration index, final z =
-    the escaped value — calc/src/lib.rs:245-257).
-    """
-    if precision not in ("f32", "ds32"):
-        raise ValueError(f"pallas backend supports f32/ds32, got {precision!r}")
-    params = scene_params(scene, height, width)
-    return iterate_params(
-        params,
-        algo=scene.algo,
-        power=scene.power,
-        iterations=scene.iterations,
-        precision=precision,
-        height=height,
-        width=width,
-        interpret=interpret,
-    )

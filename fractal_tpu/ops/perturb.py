@@ -613,20 +613,43 @@ def iterate_perturb(scene, height: int, width: int, use_pallas: bool):
     return zr, zi, cnt, n_glitch
 
 
+# Spatial early-exit granularity: the δ-orbit loop is lock-step across its
+# whole array, so exterior regions would burn until the worst pixel of the
+# IMAGE finishes.  Rendering in horizontal bands inside one lax.map program
+# restores band-level early exit (and caps live state memory) at zero extra
+# dispatches.  256 rows ≈ the escape-time kernel's 32-row tiles × the
+# coarser granularity the bigger while-loop state wants.
+PERT_BAND_ROWS = 256
+
+
 @functools.partial(jax.jit, static_argnames=("height", "width", "chunk",
                                              "bla_offsets"))
 def _render_perturb_jit(scene, orbit, P, n_steps, *, height: int, width: int,
                         chunk: int, bla_packed=None, bla_offsets=None):
-    """One fused device program: δ-orbit iteration → coloring → glitch
-    count.  A tunneled TPU link pays ~0.3 s per dispatch, so the happy
-    path (no glitches) must be exactly one program + two fetches."""
+    """One fused device program: banded δ-orbit iteration → coloring →
+    glitch count.  A tunneled TPU link pays ~0.3 s per dispatch, so the
+    happy path (no glitches) must be exactly one program + two fetches."""
     from fractal_tpu.render import _color_and_downsample
 
-    zr, zi, cnt, gl = perturb_whole_jnp(
-        orbit, P, n_steps,
-        iterations=scene.iterations, height=height, width=width, chunk=chunk,
-        bla_packed=bla_packed, bla_offsets=bla_offsets,
-    )
+    ss = scene.supersample
+    band = min(height, max(ss, (PERT_BAND_ROWS // ss) * ss))
+    n_bands = _cdiv(height, band)
+    hp = n_bands * band
+
+    def one_band(start):
+        p_local = P.at[7].set(start.astype(jnp.float32))
+        return perturb_whole_jnp(
+            orbit, p_local, n_steps,
+            iterations=scene.iterations, height=band, width=width,
+            chunk=chunk, bla_packed=bla_packed, bla_offsets=bla_offsets,
+        )
+
+    starts = jnp.arange(n_bands, dtype=jnp.int32) * band
+    zr, zi, cnt, gl = jax.lax.map(one_band, starts)
+    zr = zr.reshape(hp, width)[:height]
+    zi = zi.reshape(hp, width)[:height]
+    cnt = cnt.reshape(hp, width)[:height]
+    gl = gl.reshape(hp, width)[:height]
     img = _color_and_downsample(scene, zr, zi, cnt)
     return img, jnp.sum(gl, dtype=jnp.int32), zr, zi, cnt, gl
 
