@@ -171,6 +171,10 @@ def _render_band_jit(scene: Scene, params, precision: str, interpret: bool,
 def _render_escape(scene: Scene, backend: str = "auto"):
     precision = resolve_precision(scene)
     if precision == "perturb":
+        if scene.algo not in ("mandelbrot", "julia") or scene.power != 2:
+            raise ValueError(
+                f"perturbation supports quadratic mandelbrot/julia only, "
+                f"not {scene.algo} (power {scene.power}); use ds32/dd64")
         from fractal_tpu.ops.perturb import render_perturb
 
         return render_perturb(scene)

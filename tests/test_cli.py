@@ -123,3 +123,14 @@ def test_end_to_end_main_writes_png(tmp_path):
 
     im = Image.open(tmp_path / "img.png")
     assert im.size == (32, 24)
+
+
+def test_perturb_rejects_nonquadratic():
+    import pytest
+    from fractal_tpu.config import Scene
+    from fractal_tpu.render import render_u8
+
+    scene = Scene(algo="burningship", width=16, height=12, iterations=20,
+                  precision="perturb")
+    with pytest.raises(ValueError, match="quadratic"):
+        render_u8(scene)
