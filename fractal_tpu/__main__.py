@@ -13,6 +13,10 @@ from fractal_tpu.utils.timing import Phases
 def main(argv=None) -> int:
     options = parse_options(argv)
 
+    from fractal_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
+
     if options.gui:
         from fractal_tpu.viewer import start
 
