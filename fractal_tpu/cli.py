@@ -65,8 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stable-limit", dest="stable_limit", type=float, default=2.0,
                    help="The limit of points considered inside the fractal. "
                         "Only applicable to Mandelbrot & Julia.")
-    p.add_argument("-x", dest="pos_x", type=float, default=None)
-    p.add_argument("-y", dest="pos_y", type=float, default=0.0)
+    # -x/-y parse as decimal STRINGS: past ~1e16x zoom the view center
+    # needs more precision than f64 (framework extension; plain floats
+    # behave exactly as the reference's f64 flags)
+    p.add_argument("-x", dest="pos_x", type=str, default=None)
+    p.add_argument("-y", dest="pos_y", type=str, default="0")
     p.add_argument("--scale-x", dest="scale_x", type=float, default=None)
     p.add_argument("--scale-y", dest="scale_y", type=float, default=None)
     p.add_argument("-s", "--scale", type=float, default=None)
@@ -141,7 +144,13 @@ def parse_options(argv: Optional[List[str]] = None) -> Options:
 
     # clap default_value_if: -x defaults to 0 for julia, −0.6 otherwise
     # (src/lib.rs:69-71).
-    pos_x = args.pos_x if args.pos_x is not None else (0.0 if algo == "julia" else -0.6)
+    pos_x = args.pos_x if args.pos_x is not None else ("0" if algo == "julia" else "-0.6")
+    from fractions import Fraction
+
+    try:
+        Fraction(str(pos_x)), Fraction(str(args.pos_y))
+    except (ValueError, ZeroDivisionError):
+        sys.exit(f"error: invalid -x/-y value: {pos_x!r} / {args.pos_y!r}")
 
     # clap ArgGroup semantics (src/lib.rs:80-94): --scale-x and --scale-y are
     # mutually exclusive with each other AND with -s/--scale; each axis falls
@@ -178,7 +187,7 @@ def parse_options(argv: Optional[List[str]] = None) -> Options:
                     else defaults.iterations),
         limit=args.limit,
         stable_limit=args.stable_limit,
-        pos=(pos_x, args.pos_y),
+        pos_str=(str(pos_x), str(args.pos_y)),
         scale=scale,
         exposure=args.exposure,
         inside=not args.disable_inside,

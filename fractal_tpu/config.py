@@ -141,6 +141,9 @@ class Scene:
     julia_set: Tuple[float, float] = (0.0, 0.0)
 
     # --- extensions over the reference Config ---
+    pos_str: object = None    # optional (re, im) decimal strings: exact
+    #                           center for zooms past f64 (the floats in
+    #                           `pos` then hold the nearest approximation)
     power: int = 2            # multibrot exponent d in z^d + c
     supersample: int = 1      # k×k supersampled anti-aliasing
     precision: str = "auto"   # auto | f32 | f64 | ds32 | dd64 | perturb
@@ -149,6 +152,16 @@ class Scene:
 
     def __post_init__(self):
         object.__setattr__(self, "algo", normalize_algo(self.algo))
+        if self.pos_str is not None:
+            from fractions import Fraction
+
+            try:
+                fr = tuple(Fraction(str(v)) for v in self.pos_str)
+            except (ValueError, ZeroDivisionError) as e:
+                raise ValueError(f"invalid pos_str {self.pos_str!r}: {e}")
+            object.__setattr__(self, "pos_str",
+                               (str(self.pos_str[0]), str(self.pos_str[1])))
+            object.__setattr__(self, "pos", (float(fr[0]), float(fr[1])))
         if self.width <= 0 or self.height <= 0:
             raise ValueError("width/height must be positive")
         if self.iterations < 0:
@@ -168,6 +181,16 @@ class Scene:
 
     def replace(self, **kw) -> "Scene":
         return dataclasses.replace(self, **kw)
+
+
+def exact_pos(scene: "Scene"):
+    """The view center as exact rationals: from the decimal strings when
+    given (sub-f64 centers for deep zooms), else the f64 values."""
+    from fractions import Fraction
+
+    if scene.pos_str is not None:
+        return (Fraction(scene.pos_str[0]), Fraction(scene.pos_str[1]))
+    return (Fraction(float(scene.pos[0])), Fraction(float(scene.pos[1])))
 
 
 def scene_defaults(algo: str) -> Scene:

@@ -92,7 +92,8 @@ def viewport_affine(width: int, height: int, pos, scale,
     for axis, (p, s) in enumerate(zip(pos, scale)):
         off = Fraction(width, height * 2) if axis == 0 else Fraction(1, 2)
         a = Fraction(1) / (Fraction(height) * Fraction(float(s)))
-        c = Fraction(float(p)) - off / Fraction(float(s))
+        pf = p if isinstance(p, Fraction) else Fraction(float(p))
+        c = pf - off / Fraction(float(s))
         out.append((_split_fraction(a, dtype), _split_fraction(c, dtype)))
     return tuple(out)
 
@@ -456,8 +457,10 @@ def scene_params(scene, height: int = None, width: int = None,
     ss = scene.supersample
     height = height if height is not None else scene.height * ss
     width = width if width is not None else scene.width * ss
+    from fractal_tpu.config import exact_pos
+
     np_dt = np.float64 if dtype == jnp.float64 else np.float32
-    (Ar, Cr), (Ai, Ci) = viewport_affine(width, height, scene.pos,
+    (Ar, Cr), (Ai, Ci) = viewport_affine(width, height, exact_pos(scene),
                                          scene.scale, np_dt)
     julia = scene.algo == "julia"
     jr = dd.split_str(repr(float(scene.julia_set[0])), dtype) if julia else (0.0, 0.0)

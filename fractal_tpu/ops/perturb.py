@@ -38,6 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fractal_tpu.config import exact_pos
 from fractal_tpu.ops.escape_pallas import (
     CHUNK,
     TILE_H,
@@ -76,7 +77,8 @@ def _affine_fractions(width: int, height: int, pos, scale):
     for axis, (p, s) in enumerate(zip(pos, scale)):
         off = Fraction(width, height * 2) if axis == 0 else Fraction(1, 2)
         a = Fraction(1) / (Fraction(height) * Fraction(float(s)))
-        c = Fraction(float(p)) - off / Fraction(float(s))
+        pf = p if isinstance(p, Fraction) else Fraction(float(p))
+        c = pf - off / Fraction(float(s))
         out.append((a, c))
     return out  # [(A_re, C_re), (A_im, C_im)]
 
@@ -93,7 +95,7 @@ _ORBIT_CACHE_MAX = 8
 
 def _orbit_key(scene, ref_px, width, height):
     return (scene.algo, width, height, scene.iterations, scene.pos,
-            scene.scale, scene.julia_set, float(scene.limit),
+            scene.pos_str, scene.scale, scene.julia_set, float(scene.limit),
             scene.supersample, ref_px)
 
 
@@ -111,7 +113,7 @@ def reference_orbit(scene, ref_px: Tuple[int, int], width: int,
     if hit is not None:
         return hit
     iters = scene.iterations
-    (Ar, Cr), (Ai, Ci) = _affine_fractions(width, height, scene.pos, scene.scale)
+    (Ar, Cr), (Ai, Ci) = _affine_fractions(width, height, exact_pos(scene), scene.scale)
     u0, v0 = ref_px
     c0r_f = Ar * u0 + Cr
     c0i_f = Ai * v0 + Ci
@@ -208,8 +210,8 @@ def choose_reference(scene, width: int, height: int) -> Tuple[int, int]:
     pv, pu = int(ys[i]), int(xs[i])
     # Map the probe pixel to full resolution through the exact affines of
     # both grids (the probe's aspect offset differs when ratios differ).
-    (Arp, Crp), (Aip, Cip) = _affine_fractions(pw, ph, scene.pos, scene.scale)
-    (Ar, Cr), (Ai, Ci) = _affine_fractions(width, height, scene.pos, scene.scale)
+    (Arp, Crp), (Aip, Cip) = _affine_fractions(pw, ph, exact_pos(scene), scene.scale)
+    (Ar, Cr), (Ai, Ci) = _affine_fractions(width, height, exact_pos(scene), scene.scale)
     u = int(round(float(((Arp * int(pu) + Crp) - Cr) / Ar)))
     v = int(round(float(((Aip * int(pv) + Cip) - Ci) / Ai)))
     return (min(max(u, 0), width - 1), min(max(v, 0), height - 1))
@@ -432,7 +434,7 @@ def _perturb_tile_bla(xx, yy, P, n_steps, iterations: int, chunk: int,
 
 
 def _pert_params(scene, ref_px, width: int, height: int):
-    (Ar, Cr), (Ai, Ci) = _affine_fractions(width, height, scene.pos, scene.scale)
+    (Ar, Cr), (Ai, Ci) = _affine_fractions(width, height, exact_pos(scene), scene.scale)
     dc_gain = 0.0 if scene.algo == "julia" else 1.0
     return jnp.asarray(
         [float(Ar), float(Ai), float(ref_px[0]), float(ref_px[1]),
@@ -688,7 +690,7 @@ def _bla_for(scene, orbit, ref_px, width: int, height: int):
     hit = _BLA_CACHE.get(key)
     if hit is not None:
         return hit
-    (Ar, _), (Ai, _) = _affine_fractions(width, height, scene.pos, scene.scale)
+    (Ar, _), (Ai, _) = _affine_fractions(width, height, exact_pos(scene), scene.scale)
     u0, v0 = ref_px
     dcr_max = max(u0, width - 1 - u0) * abs(float(Ar))
     dci_max = max(v0, height - 1 - v0) * abs(float(Ai))

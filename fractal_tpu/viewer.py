@@ -59,6 +59,19 @@ def scene_from_dict(d: dict) -> Scene:
     for f in _TUPLE_FIELDS:
         if f in kw:
             kw[f] = tuple(kw[f])
+    if kw.get("pos_str") is not None:
+        # the browser edits the f64 `pos` when panning; a stale exact-string
+        # center would silently override it (Scene rebuilds pos from
+        # pos_str), so keep the string only while it still matches
+        from fractions import Fraction
+
+        kw["pos_str"] = tuple(kw["pos_str"])
+        match = all(
+            float(Fraction(s)) == float(p)
+            for s, p in zip(kw["pos_str"], kw.get("pos", ()))
+        )
+        if not match:
+            kw["pos_str"] = None
     return Scene(**kw)
 
 

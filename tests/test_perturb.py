@@ -165,3 +165,25 @@ def test_glitch_fallback_exactness():
     c_ds = np.asarray(c_ds)
     if gl.any():
         np.testing.assert_array_equal(cnt[gl == 1], c_ds[gl == 1])
+
+
+def test_exact_string_center_beyond_f64():
+    """A 30-digit center string must position the view exactly: two scenes
+    whose pos_str differ below f64 resolution render different deep views
+    (with plain floats they would collapse to the same image)."""
+    # near the needle tip: structure at every scale, and |x| ~ 2 makes a
+    # 1e-27 shift ~11 orders below f64's ulp — yet it moves the view by
+    # ~1.6 pixels at 1e26x
+    base = "-1.999999999999999999999999999"
+    other = "-1.999999999999999999999999998"
+    assert float(__import__("fractions").Fraction(base)) == \
+           float(__import__("fractions").Fraction(other))  # same f64!
+    imgs = []
+    for ps in (base, other):
+        scene = Scene(width=24, height=16, iterations=300,
+                      pos_str=(ps, "0.0000000000000000000000000035"),
+                      scale=(1e26, 1e26))
+        assert resolve_precision(scene) == "perturb"
+        imgs.append(np.asarray(render_u8(scene)))
+    assert imgs[0].shape == (16, 24, 3)
+    assert (imgs[0] != imgs[1]).any(), "sub-f64 center shift had no effect"
