@@ -193,16 +193,20 @@ def saturating_sum_u8(imgs):
 
 def render_fern(scene: Scene, walkers: int = DEFAULT_WALKERS):
     """Full fern render: chaos game → hit histogram → darkening curve →
-    (optional) replica saturating-sum."""
+    (optional) replica saturating-sum.  ``supersample=k`` plots onto a k×
+    grid and box-downsamples the darkened image (framework extension; the
+    reference has no AA)."""
     replicas = max(1, scene.fern_replicas)
     total = max(1, scene.iterations)
     per_replica = max(1, total // replicas)
     k = int(min(walkers, per_replica))
     steps = max(1, per_replica // k)
+    ss = scene.supersample
+    w, h = scene.width * ss, scene.height * ss
 
     hits = _fern_hits(
-        scene, scene.width, scene.height, k, steps, replicas, scene.seed,
-        burn_in=_burn_in(scene, scene.width, scene.height),
+        scene, w, h, k, steps, replicas, scene.seed,
+        burn_in=_burn_in(scene, w, h),
     )
     curve = darkening_curve(
         scene.secondary_color.as_tuple(),
@@ -210,6 +214,12 @@ def render_fern(scene: Scene, walkers: int = DEFAULT_WALKERS):
         float(scene.color_weight),
     )
     if replicas == 1:
-        return apply_darkening(hits[0], curve)
-    imgs = apply_darkening(hits, curve)  # (R, H, W, 3)
-    return saturating_sum_u8(imgs)
+        img = apply_darkening(hits[0], curve)
+    else:
+        img = saturating_sum_u8(apply_darkening(hits, curve))  # (R,H,W,3)→
+    if ss > 1:
+        from fractal_tpu.ops.coloring import downsample_box
+        import jax.numpy as _jnp
+
+        img = downsample_box(img.astype(_jnp.float32), ss)
+    return img

@@ -232,7 +232,8 @@ class _DS32Rep:
 
 
 def _iterate_tile(rep, rule, is_ds: bool, julia: bool, iterations: int,
-                  chunk: int, xx, yy, P, periodicity: bool = False):
+                  chunk: int, xx, yy, P, periodicity: bool = False,
+                  unroll: bool = True):
     """Shared iteration scaffold: viewport → masked lock-step loop with
     chunked early exit.  Runs identically inside a Pallas kernel (xx/yy =
     tile-local iota + tile origin) and as a whole-image jnp program (the
@@ -304,7 +305,7 @@ def _iterate_tile(rep, rule, is_ds: bool, julia: bool, iterations: int,
         state, k = carry
         n0 = k * chunk
         state = jax.lax.fori_loop(
-            0, chunk, lambda i, s: one_step(n0 + i, s), state, unroll=True
+            0, chunk, lambda i, s: one_step(n0 + i, s), state, unroll=unroll
         )
         return state, k + 1
 
@@ -368,10 +369,10 @@ def iterate_whole_jnp(params, *, algo: str, power: int, iterations: int,
     same viewport affine), no Pallas: the CPU path for ds32 and the oracle
     for kernel tests."""
     rep, rule, is_ds = _rep_rule(algo, power, precision)
-    # The CPU/XLA:LLVM backend compiles pathologically slowly (>4 min for a
-    # 96×72 image) when the periodicity state rides a 32-deep unrolled body;
-    # the jnp twin is a fallback/test oracle, so cap its unroll depth.  The
-    # Pallas/Mosaic path keeps the swept CHUNK.
+    # The CPU/XLA:LLVM backend compiles pathologically slowly (minutes for
+    # tiny images) on deeply unrolled bodies — the jnp twin is a fallback/
+    # test oracle, so cap the chunk and keep the inner fori rolled.  The
+    # Pallas/Mosaic path keeps the swept CHUNK fully unrolled.
     chunk = min(chunk, 16)
     dt = jnp.float64 if precision == "dd64" else jnp.float32
     yy = jax.lax.broadcasted_iota(dt, (height, width), 0)
@@ -380,7 +381,7 @@ def iterate_whole_jnp(params, *, algo: str, power: int, iterations: int,
     yy = yy * P[14] + P[15]  # global-row map for sharded stripes (see kernel)
     return _iterate_tile(
         rep, rule, is_ds, algo == "julia", iterations, chunk, xx, yy, P,
-        periodicity=periodicity,
+        periodicity=periodicity, unroll=False,
     )
 
 

@@ -114,3 +114,16 @@ def test_fern_offset_start_no_transient_artifacts():
     d_off = (img.sum(-1) < 600).mean()
     d_ctr = (centered.sum(-1) < 600).mean()
     assert abs(d_off - d_ctr) < 0.05, (d_off, d_ctr)
+
+
+def test_fern_supersample():
+    import numpy as np
+    from fractal_tpu.config import scene_defaults
+    from fractal_tpu.models.fern import render_fern
+
+    scene = scene_defaults("fern").replace(width=80, height=80,
+                                           iterations=400_000, supersample=2)
+    img = np.asarray(render_fern(scene))
+    assert img.shape == (80, 80, 3) and img.dtype == np.uint8
+    assert tuple(img[0, 0]) == (240, 240, 240)
+    assert (img.sum(-1) < 600).any()  # the fern is there
