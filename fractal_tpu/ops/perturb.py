@@ -557,6 +557,71 @@ def _fallback_1d(params16, xs, ys, *, algo: str, power: int,
     )
 
 
+# ds32's double-word viewport resolves pixel coordinates to ~2^-48 of the
+# view center; below this spacing the ds32 fallback would hand glitched
+# pixels a garbage (coordinate-collapsed) value — multi-reference
+# perturbation takes over instead.
+DS32_FALLBACK_SPACING_LIMIT = 1e-13
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "k", "chunk"))
+def _pert_fallback_1d_jit(orbit, P, n_steps, xs, ys, *, iterations: int,
+                          k: int, chunk: int = PERT_CHUNK_CPU):
+    """δ-orbit iteration of an arbitrary 1-D pixel list against a
+    (secondary) reference orbit — the re-render pass of multi-reference
+    perturbation."""
+    rows = orbit.shape[0]
+
+    def load_block(n0):
+        start = jnp.minimum(n0, jnp.int32(rows - chunk))
+        return jax.lax.dynamic_slice(orbit, (start, jnp.int32(0)), (chunk, 8))
+
+    return _perturb_tile(xs.reshape(1, k), ys.reshape(1, k), P, n_steps,
+                         iterations, chunk, load_block)
+
+
+def _multiref_resolve(scene, idx, width: int, height: int, max_refs: int = 4):
+    """Re-render the flagged pixel list with successive secondary reference
+    orbits (classic multi-reference perturbation: each round picks the
+    medoid of the still-glitched pixels as the next reference, whose own
+    neighborhood then iterates glitch-free).  Returns (zr, zi, cnt) f32/i32
+    arrays in ``idx`` order; pixels still flagged after ``max_refs`` rounds
+    keep their last (best-effort) values — never observed past 2 rounds."""
+    n = idx.size
+    out_zr = np.zeros(n, np.float32)
+    out_zi = np.zeros(n, np.float32)
+    out_cnt = np.zeros(n, np.int32)
+    remaining = np.arange(n)
+    for _ in range(max_refs):
+        if remaining.size == 0:
+            break
+        xs = (idx[remaining] % width).astype(np.float32)
+        ys = (idx[remaining] // width).astype(np.float32)
+        mi = int(np.argmin((xs - xs.mean()) ** 2 + (ys - ys.mean()) ** 2))
+        ref = (int(xs[mi]), int(ys[mi]))
+        orbit = reference_orbit(scene, ref, width, height)
+        P = _pert_params(scene, ref, width, height)
+        k = 1 << max(7, (remaining.size - 1).bit_length())
+        xs_p = np.full(k, float(width), np.float32)   # pad off-image: escapes
+        ys_p = np.full(k, float(height), np.float32)
+        xs_p[: remaining.size] = xs
+        ys_p[: remaining.size] = ys
+        zr1, zi1, cnt1, gl1 = _pert_fallback_1d_jit(
+            jnp.asarray(orbit.packed), P, jnp.int32(orbit.n_steps),
+            jnp.asarray(xs_p), jnp.asarray(ys_p),
+            iterations=scene.iterations, k=k,
+        )
+        zr1 = np.asarray(zr1).ravel()[: remaining.size]
+        zi1 = np.asarray(zi1).ravel()[: remaining.size]
+        cnt1 = np.asarray(cnt1).ravel()[: remaining.size]
+        gl1 = np.asarray(gl1).ravel()[: remaining.size]
+        out_zr[remaining] = zr1
+        out_zi[remaining] = zi1
+        out_cnt[remaining] = cnt1
+        remaining = remaining[gl1 != 0]
+    return out_zr, out_zi, out_cnt
+
+
 def _apply_fallback(scene, zr, zi, cnt, gl, width: int, height: int):
     # One scalar device reduction first: the common case is zero glitches,
     # and pulling the full (zr, zi, cnt, gl) set to the host costs ~50 MB
@@ -567,19 +632,24 @@ def _apply_fallback(scene, zr, zi, cnt, gl, width: int, height: int):
     idx = np.flatnonzero(gl_host)
     if idx.size == 0:
         return zr, zi, cnt, 0
-    k = 1 << max(7, (idx.size - 1).bit_length())  # pow-2 buckets, min 128
-    xs = np.zeros(k, np.float32)
-    ys = np.zeros(k, np.float32)
-    xs[: idx.size] = (idx % width).astype(np.float32)
-    ys[: idx.size] = (idx // width).astype(np.float32)
-    params16 = scene_params(scene, height, width)
-    fzr, fzi, fcnt = _fallback_1d(
-        params16, jnp.asarray(xs), jnp.asarray(ys),
-        algo=scene.algo, power=scene.power, iterations=scene.iterations, k=k,
-    )
-    fzr = np.asarray(fzr).ravel()[: idx.size]
-    fzi = np.asarray(fzi).ravel()[: idx.size]
-    fcnt = np.asarray(fcnt).ravel()[: idx.size]
+    spacing = scene.pixel_spacing / scene.supersample
+    if spacing > DS32_FALLBACK_SPACING_LIMIT:
+        k = 1 << max(7, (idx.size - 1).bit_length())  # pow-2 buckets, min 128
+        xs = np.zeros(k, np.float32)
+        ys = np.zeros(k, np.float32)
+        xs[: idx.size] = (idx % width).astype(np.float32)
+        ys[: idx.size] = (idx // width).astype(np.float32)
+        params16 = scene_params(scene, height, width)
+        fzr, fzi, fcnt = _fallback_1d(
+            params16, jnp.asarray(xs), jnp.asarray(ys),
+            algo=scene.algo, power=scene.power, iterations=scene.iterations,
+            k=k,
+        )
+        fzr = np.asarray(fzr).ravel()[: idx.size]
+        fzi = np.asarray(fzi).ravel()[: idx.size]
+        fcnt = np.asarray(fcnt).ravel()[: idx.size]
+    else:
+        fzr, fzi, fcnt = _multiref_resolve(scene, idx, width, height)
     zr = np.asarray(zr).copy().ravel()
     zi = np.asarray(zi).copy().ravel()
     cnt = np.asarray(cnt).copy().ravel()
@@ -720,7 +790,21 @@ def render_perturb(scene):
     n = int(n_gl)
     if n == 0:
         return img
-    kpad = 1 << max(7, (n - 1).bit_length())  # pow-2 buckets, min 128
-    params16 = scene_params(scene, h, w)
-    return _fallback_and_color_jit(scene, params16, zr, zi, cnt, gl,
-                                   kpad=kpad, height=h, width=w)
+    spacing = scene.pixel_spacing / ss
+    if spacing > DS32_FALLBACK_SPACING_LIMIT:
+        # ds32 resolves these pixels exactly: fully device-resident pass
+        kpad = 1 << max(7, (n - 1).bit_length())  # pow-2 buckets, min 128
+        params16 = scene_params(scene, h, w)
+        return _fallback_and_color_jit(scene, params16, zr, zi, cnt, gl,
+                                       kpad=kpad, height=h, width=w)
+    # deeper than ds32's wall: multi-reference perturbation (host-driven —
+    # glitches at this depth are rare and secondary orbits are the cost)
+    zr, zi, cnt, _ = _apply_fallback(scene, zr, zi, cnt, gl, w, h)
+    return _color_jit(scene, zr, zi, cnt)
+
+
+@jax.jit
+def _color_jit(scene, zr, zi, cnt):
+    from fractal_tpu.render import _color_and_downsample
+
+    return _color_and_downsample(scene, zr, zi, cnt)

@@ -187,3 +187,65 @@ def test_exact_string_center_beyond_f64():
         imgs.append(np.asarray(render_u8(scene)))
     assert imgs[0].shape == (16, 24, 3)
     assert (imgs[0] != imgs[1]).any(), "sub-f64 center shift had no effect"
+
+
+def test_multiref_fallback_resolves_bad_reference():
+    """Force a terrible reference (corner pixel, orbit escapes in ~30
+    steps): most pixels outlive it and flag as glitches.  The multi-
+    reference resolver must reconstruct counts identical to the good-
+    reference render — on this needle view every count is well-conditioned
+    and pinned to mpmath by test_perturb_beyond_f64_vs_mpmath."""
+    w, h = 24, 16
+    scene = Scene(width=w, height=h, iterations=300,
+                  pos=(-2.0, 0.0), scale=(1e16, 1e16))
+    # good-reference counts
+    _, _, good, _ = pt.iterate_perturb(scene, h, w, use_pallas=False)
+    good = np.asarray(good)
+
+    bad_ref = (0, 0)
+    orbit = pt.reference_orbit(scene, bad_ref, w, h)
+    assert orbit.n_steps < 100  # the corner escapes early: orbit too short
+    P = pt._pert_params(scene, bad_ref, w, h)
+    zr, zi, cnt, gl = pt.perturb_whole_jnp(
+        jnp.asarray(orbit.packed), P, jnp.int32(orbit.n_steps),
+        iterations=300, height=h, width=w)
+    gl = np.asarray(gl)
+    assert gl.sum() > 50  # most of the image outlived the bad orbit
+
+    idx = np.flatnonzero(gl)
+    fzr, fzi, fcnt = pt._multiref_resolve(scene, idx, w, h)
+    merged = np.asarray(cnt).ravel().copy()
+    merged[idx] = fcnt
+    merged = merged.reshape(h, w)
+    # every ESCAPING pixel (well-conditioned) must match exactly; the one
+    # non-escaping pixel is exactly c=-2, a measure-zero parabolic point
+    # that only its own reference orbit can resolve (the good render has
+    # it as the reference; see test_dd.py for the same phenomenon)
+    esc = good < 300
+    np.testing.assert_array_equal(merged[esc], good[esc])
+    assert (merged[~esc] != good[~esc]).sum() <= 2
+
+
+def test_deep_glitch_routing_uses_multiref(monkeypatch):
+    """Past ds32's spacing wall the fallback must NOT use ds32 (coordinate-
+    collapsed garbage); _apply_fallback routes to the multi-reference
+    resolver instead."""
+    calls = {}
+    real = pt._multiref_resolve
+
+    def spy(*a, **k):
+        calls["hit"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(pt, "_multiref_resolve", spy)
+    w, h = 24, 16
+    scene = Scene(width=w, height=h, iterations=300,
+                  pos=(-2.0, 0.0), scale=(1e16, 1e16))
+    bad_ref = (0, 0)
+    orbit = pt.reference_orbit(scene, bad_ref, w, h)
+    P = pt._pert_params(scene, bad_ref, w, h)
+    zr, zi, cnt, gl = pt.perturb_whole_jnp(
+        jnp.asarray(orbit.packed), P, jnp.int32(orbit.n_steps),
+        iterations=300, height=h, width=w)
+    pt._apply_fallback(scene, zr, zi, cnt, gl, w, h)
+    assert calls.get("hit"), "deep glitches fell back to ds32"
