@@ -249,3 +249,25 @@ def test_deep_glitch_routing_uses_multiref(monkeypatch):
         iterations=300, height=h, width=w)
     pt._apply_fallback(scene, zr, zi, cnt, gl, w, h)
     assert calls.get("hit"), "deep glitches fell back to ds32"
+
+
+def test_deep_multiref_e2e_render(monkeypatch):
+    """Full render_u8 path with a forced-bad reference at a beyond-ds32
+    depth: the deep multiref branch (glitch resolve + recolor) must run and
+    produce the same image as the good-reference render on escaping pixels."""
+    w, h = 24, 16
+    scene = Scene(width=w, height=h, iterations=300,
+                  pos=(-2.0, 0.0), scale=(1e16, 1e16), inside=False)
+    good = np.asarray(render_u8(scene))
+
+    monkeypatch.setattr(pt, "choose_reference", lambda s, ww, hh: (0, 0))
+    pt._ORBIT_CACHE.clear()
+    pt._BLA_CACHE.clear()
+    bad = np.asarray(render_u8(scene))
+    diff = (bad != good).any(-1)
+    # row h//2 lies exactly ON the needle (ci = 0): every pixel there is a
+    # measure-zero non-escaping point that only a same-row reference can
+    # resolve (see test_multiref_fallback_resolves_bad_reference); all
+    # escaping (well-conditioned) pixels must reconstruct identically.
+    diff[h // 2, :] = False
+    assert diff.sum() == 0, f"{diff.sum()} off-needle pixels differ"
