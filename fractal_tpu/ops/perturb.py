@@ -622,14 +622,24 @@ def _multiref_resolve(scene, idx, width: int, height: int, max_refs: int = 4):
     return out_zr, out_zi, out_cnt
 
 
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def _scatter_fixed(zr, zi, cnt, idx, fzr, fzi, fcnt, *, height, width):
+    shape = (height, width)
+    zr = zr.ravel().at[idx].set(fzr, mode="drop").reshape(shape)
+    zi = zi.ravel().at[idx].set(fzi, mode="drop").reshape(shape)
+    cnt = cnt.ravel().at[idx].set(fcnt, mode="drop").reshape(shape)
+    return zr, zi, cnt
+
+
 def _apply_fallback(scene, zr, zi, cnt, gl, width: int, height: int):
     # One scalar device reduction first: the common case is zero glitches,
     # and pulling the full (zr, zi, cnt, gl) set to the host costs ~50 MB
     # over a tunneled TPU link (~1 s at 1080p) for nothing.
     if int(jnp.sum(gl, dtype=jnp.int32)) == 0:
         return zr, zi, cnt, 0
-    gl_host = np.asarray(gl)
-    idx = np.flatnonzero(gl_host)
+    # only the (u8-compressed) mask crosses the link; the big arrays stay
+    # device-resident and are patched with a scatter
+    idx = np.flatnonzero(np.asarray(gl.astype(jnp.uint8)))
     if idx.size == 0:
         return zr, zi, cnt, 0
     spacing = scene.pixel_spacing / scene.supersample
@@ -645,20 +655,18 @@ def _apply_fallback(scene, zr, zi, cnt, gl, width: int, height: int):
             algo=scene.algo, power=scene.power, iterations=scene.iterations,
             k=k,
         )
-        fzr = np.asarray(fzr).ravel()[: idx.size]
-        fzi = np.asarray(fzi).ravel()[: idx.size]
-        fcnt = np.asarray(fcnt).ravel()[: idx.size]
+        fzr = fzr.ravel()[: idx.size]
+        fzi = fzi.ravel()[: idx.size]
+        fcnt = fcnt.ravel()[: idx.size]
     else:
-        fzr, fzi, fcnt = _multiref_resolve(scene, idx, width, height)
-    zr = np.asarray(zr).copy().ravel()
-    zi = np.asarray(zi).copy().ravel()
-    cnt = np.asarray(cnt).copy().ravel()
-    zr[idx] = fzr
-    zi[idx] = fzi
-    cnt[idx] = fcnt
-    shape = (height, width)
-    return (jnp.asarray(zr.reshape(shape)), jnp.asarray(zi.reshape(shape)),
-            jnp.asarray(cnt.reshape(shape)), int(idx.size))
+        hzr, hzi, hcnt = _multiref_resolve(scene, idx, width, height)
+        fzr, fzi, fcnt = (jnp.asarray(hzr), jnp.asarray(hzi),
+                          jnp.asarray(hcnt))
+    zr, zi, cnt = _scatter_fixed(
+        zr, zi, cnt, jnp.asarray(idx.astype(np.int32)), fzr, fzi, fcnt,
+        height=height, width=width,
+    )
+    return zr, zi, cnt, int(idx.size)
 
 
 # ---------------------------------------------------------------------------
