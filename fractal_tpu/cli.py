@@ -119,8 +119,11 @@ def build_parser() -> argparse.ArgumentParser:
                      choices=("avif", "png"),
                      help="Output image format (reference: always avif).")
     ext.add_argument("--true-colors", dest="true_colors", action="store_true",
-                     help="Parse hex colors as real RRGGBB instead of the "
-                          "reference's swapped channel order.")
+                     help="Fern only: store hex colors as real RRGGBB instead "
+                          "of the reference's swapped channel order. Escape-"
+                          "time scenes already render hex colors true (the "
+                          "reference's parse-time and render-time swaps "
+                          "cancel), so this is a no-op there.")
     ext.add_argument("--profile", action="store_true",
                      help="Print per-phase timing (kernel / transfer / encode).")
     ext.add_argument("--trace", default=None, metavar="DIR",
@@ -172,7 +175,12 @@ def parse_options(argv: Optional[List[str]] = None) -> Options:
                      "--julia-imaginary")
         julia = (args.julia_re, args.julia_im)
 
-    compat = not args.true_colors
+    # Scene colors hold the reference's *stored* fields: hex always parses
+    # through the swapped RGB::new for escape scenes (render-time swap in
+    # color_multiply cancels it, so hex renders true — matching the
+    # reference); --true-colors only de-swaps the fern, whose colors reach
+    # the image without the cancelling second swap.
+    compat = not (args.true_colors and algo == "fern")
     defaults = scene_defaults(algo)
     primary = (parse_hex_rgb(args.primary_color, compat) if args.primary_color
                else defaults.primary_color)

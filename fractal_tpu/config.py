@@ -7,18 +7,28 @@ Exact-semantics notes (SURVEY.md "Quirks"):
 
 * The reference's ``RGB::new(r, b, g)`` constructor has its 2nd and 3rd
   arguments swapped (calc/src/lib.rs:129): the second argument lands in the
-  *blue* field and the third in *green*.  The **effective** default colors of
-  the reference binary are therefore, in true (r, g, b) field order:
+  *blue* field and the third in *green*.  The values *stored* in the
+  reference's Config are therefore, in true (r, g, b) field order:
 
-  - escape-time primary:   ``new(40, 40, 255)``  -> (40, 255, 40)   greenish
-  - escape-time secondary: ``new(240, 170, 0)``  -> (240, 0, 170)
-  - fern primary:          ``new(4, 100, 3)``    -> (4, 3, 100)
-  - fern secondary (bg):   ``new(240, 240, 240)``-> (240, 240, 240)
+  - escape-time primary:   ``new(40, 40, 255)``  -> stored (40, 255, 40)
+  - escape-time secondary: ``new(240, 170, 0)``  -> stored (240, 0, 170)
+  - fern primary:          ``new(4, 100, 3)``    -> stored (4, 3, 100)
+  - fern secondary (bg):   ``new(240, 240, 240)``-> stored (240, 240, 240)
 
-  We store colors in true (r, g, b) order with the reference's *effective*
-  values as defaults, so rendered images match the reference binary
-  pixel-for-pixel.  Hex color parsing has a matching compat mode (see
-  ``parse_hex_rgb``).
+  Crucially, ``color_multiply`` (calc:133-139) routes its output through the
+  same swapped constructor, so escape-time rendering swaps g/b a SECOND time
+  and the two swaps cancel: the reference binary's effective escape colors
+  are the literal ``Config::new`` arguments — blue (40,40,255) primary,
+  orange (240,170,0) secondary (its screenshot is blue-dominant, its CLI
+  help calls the secondary "orange") — and hex input renders un-swapped.
+  The fern path (``subtract_pixel``/background fill) has no cancelling
+  second swap; its stored values are what the math sees.
+
+  We store colors exactly as the reference stores them (post-constructor
+  swap) and apply the render-time second swap in ``ops/coloring.py`` /
+  the fern darkening recurrence in ``models/fern.py``, so rendered images
+  match the reference binary pixel-for-pixel.  Hex parsing mirrors the
+  parse-time swap (see ``parse_hex_rgb``).
 
 * Two-tier defaults: ``Config::new`` sets exposure 2.0 (calc:52) but the CLI
   overrides it with default "5" (src/lib.rs:100).  ``scene_defaults`` mirrors
@@ -71,10 +81,13 @@ BLACK = RGB(0, 0, 0)
 def parse_hex_rgb(s: str, compat: bool = True) -> RGB:
     """Parse "RRGGBB" hex.
 
-    With ``compat=True`` (default) replicates the reference's behavior
+    With ``compat=True`` (default) replicates the reference's stored fields
     (src/lib.rs:22-28): the parsed G lands in the blue field and the parsed B
     in the green field, because ``parse_hex_rgb`` there feeds the swapped
-    ``RGB::new``.  ``compat=False`` gives the sane interpretation.
+    ``RGB::new``.  For escape-time scenes the render-time swap in
+    ``color_multiply`` cancels this, so compat-parsed hex *renders* true;
+    only the fern (no second swap) exposes the stored order.
+    ``compat=False`` stores the literal RRGGBB.
     """
     s = s.removeprefix("#")
     if len(s) != 6:
@@ -195,20 +208,22 @@ def exact_pos(scene: "Scene"):
 
 def scene_defaults(algo: str) -> Scene:
     """Mirror of ``Config::new(algo)`` (calc/src/lib.rs:39-69): per-algorithm
-    iteration counts and (effective, post-swap) colors."""
+    iteration counts and the reference's *stored* (post-constructor-swap)
+    colors — escape-time rendering swaps g/b again in coloring.py, so the
+    effective escape colors are the literal ``Config::new`` arguments."""
     algo = normalize_algo(algo)
     if algo == "fern":
         return Scene(
             algo=algo,
             iterations=10_000_000,
-            primary_color=RGB(4, 3, 100),        # reference new(4, 100, 3)
-            secondary_color=RGB(240, 240, 240),  # reference new(240, 240, 240)
+            primary_color=RGB(4, 3, 100),        # stored by new(4, 100, 3)
+            secondary_color=RGB(240, 240, 240),  # stored by new(240, 240, 240)
         )
     return Scene(
         algo=algo,
         iterations=50,
-        primary_color=RGB(40, 255, 40),          # reference new(40, 40, 255)
-        secondary_color=RGB(240, 0, 170),        # reference new(240, 170, 0)
+        primary_color=RGB(40, 255, 40),          # stored by new(40, 40, 255)
+        secondary_color=RGB(240, 0, 170),        # stored by new(240, 170, 0)
     )
 
 

@@ -73,31 +73,52 @@ def _burn_in(scene: Scene, width: int, height: int) -> int:
 
 
 def darkening_curve(background, primary, weight: float) -> np.ndarray:
-    """Pixel value after n hits, for n = 0..fixed-point, shape (L, 3) uint8.
+    """Pixel value after n hits, for n = 0..cycle, shape (L, 3) uint8.
 
     Exact n-fold composition of the reference's per-hit darkening
-    (src/lib.rs:399-406): p ← trunc(p · f_c) with Rust `as u8` saturation.
+    (src/lib.rs:399-406).  The darkened channels are fed back through the
+    swapped ``RGB::new(r, b, g)`` constructor (calc/src/lib.rs:129), so one
+    hit writes, in true (r, g, b) field order:
+
+        r ← trunc(r · f(v.r));  g ← trunc(b · f(v.b));  b ← trunc(g · f(v.g))
+
+    i.e. new = u8(swap_gb(p · factors)) — the g/b channels alternate across
+    hits.  The sequence always lands on a 2-cycle (a fixed point is a
+    2-cycle with equal entries): the two-step map is monotone nonincreasing
+    per channel under truncation.  The returned curve ends exactly one full
+    2-cycle from the end — entry n for n ≥ L is curve[L-2 + (n-(L-2)) % 2]
+    (see ``apply_darkening``).
     """
-    bg = np.array(background, dtype=np.float64)
     v = np.array(primary, dtype=np.float64)
     factors = np.empty(3)
     for c in range(3):
         if v[c] <= 0.0:
-            factors[c] = 0.0  # 1/(v/255) → ∞ ⇒ multiply by 0
+            factors[c] = 0.0  # 1/(v/255) → ∞ in Rust f64 ⇒ multiply by 0
         else:
             factors[c] = 1.0 / (((1.0 / (v[c] / 255.0)) - 1.0) * weight + 1.0)
 
-    curve = [np.array([int(b) for b in bg], dtype=np.uint8)]
-    p = curve[0].astype(np.float64)
-    for _ in range(256):
-        q = p * factors
+    def step(p):
+        q = p.astype(np.float64) * factors
         q = np.where(np.isnan(q), 0.0, q)
         q = np.clip(np.trunc(q), 0.0, 255.0)
-        if np.all(q == p):
-            break
-        curve.append(q.astype(np.uint8))
-        p = q
+        return q[[0, 2, 1]].astype(np.uint8)  # RGB::new's g/b swap
+
+    curve = [np.array([int(b) for b in background], dtype=np.uint8)]
+    for _ in range(1024):
+        q = step(curve[-1])
+        if len(curve) >= 2 and np.all(q == curve[-2]):
+            break  # 2-cycle closed (covers the fixed point: q == both tails)
+        curve.append(q)
+    if len(curve) < 2 or not np.all(step(curve[-1]) == curve[-2]):
+        curve.append(step(curve[-1]))  # ensure the last two entries cycle
     return np.stack(curve)  # (L, 3)
+
+
+def lut_index(hits, length: int):
+    """Map hit counts to darkening-curve rows, extending past the end with
+    the curve's terminal 2-cycle (parity of n)."""
+    tail = length - 2 + jnp.remainder(hits - (length - 2), 2)
+    return jnp.where(hits < length, hits, tail)
 
 
 @functools.partial(
@@ -178,10 +199,10 @@ def _fern_hits(
 
 
 def apply_darkening(hits, curve: np.ndarray):
-    """hits (…, H, W) int32 → image (…, H, W, 3) uint8 via the decay curve."""
+    """hits (…, H, W) int32 → image (…, H, W, 3) uint8 via the decay curve,
+    alternating over the terminal 2-cycle for counts past the curve end."""
     lut = jnp.asarray(curve)  # (L, 3)
-    idx = jnp.minimum(hits, lut.shape[0] - 1)
-    return jnp.take(lut, idx, axis=0)
+    return jnp.take(lut, lut_index(hits, lut.shape[0]), axis=0)
 
 
 def saturating_sum_u8(imgs):

@@ -12,6 +12,15 @@ Semantics replicated exactly (SURVEY.md "Quirks" 2-5):
     ``inside`` is disabled (calc:230-234).
   * float→u8 uses Rust ``as`` cast semantics: truncate toward zero, saturate
     to [0, 255], NaN → 0 (calc:133-139).
+  * ``color_multiply`` builds its result through the swapped ``RGB::new(r, b,
+    g)`` constructor (calc:129, 133-139), so its output fields are
+    (r·m, b·m, g·m) in true (r, g, b) order — the g and b channels of the
+    *stored* color swap at render time.  Scene colors are stored exactly as
+    the reference stores them (post-constructor swap), and this module
+    applies the second, render-time swap; the two swaps cancel, so the
+    literal ``Config::new`` values (blue primary (40,40,255), orange
+    secondary (240,170,0)) are what actually lands in the image — matching
+    the reference binary and its checked-in blue-dominant screenshot.
 """
 
 from __future__ import annotations
@@ -63,8 +72,11 @@ def color_escape_result(
     iters_f = smooth_iters(cnt, dist, smooth)
     mult = iters_f / jnp.asarray(float(iterations), dtype) * jnp.asarray(exposure, dtype)
 
-    prim = jnp.asarray(primary_color, dtype)      # (3,)
-    sec = jnp.asarray(secondary_color, dtype)     # (3,)
+    # color_multiply's render-time g/b swap (calc:129, 133-139): the output
+    # channels are (stored.r, stored.b, stored.g) · mult.
+    p, s = primary_color, secondary_color
+    prim = jnp.asarray((p[0], p[2], p[1]), dtype)  # (3,)
+    sec = jnp.asarray((s[0], s[2], s[1]), dtype)   # (3,)
 
     out_escaped = prim * mult[..., None]
     if inside:

@@ -219,7 +219,7 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None):
 def _render_fern_sharded_jit(scene: Scene, walkers: int, steps: int,
                              mesh: Mesh, compat_replicas: bool, curve,
                              burn_in: int = 64):
-    from fractal_tpu.models.fern import _fern_hits
+    from fractal_tpu.models.fern import _fern_hits, lut_index
 
     n = mesh.shape[AXIS]
 
@@ -235,12 +235,12 @@ def _render_fern_sharded_jit(scene: Scene, walkers: int, steps: int,
             # Reference N-thread mode (src/lib.rs:271-319): darken each
             # replica independently, then saturating-add.  Saturating chain
             # of non-negatives ≡ clamp(total), so psum + min is exact.
-            img = jnp.take(curve, jnp.minimum(hits, curve.shape[0] - 1), axis=0)
+            img = jnp.take(curve, lut_index(hits, curve.shape[0]), axis=0)
             total = jax.lax.psum(img.astype(jnp.int32), AXIS)
             return jnp.minimum(total, 255).astype(jnp.uint8)
         # Native mode: one global fern — all-reduce the hit grids, darken once.
         hits = jax.lax.psum(hits, AXIS)
-        return jnp.take(curve, jnp.minimum(hits, curve.shape[0] - 1), axis=0)
+        return jnp.take(curve, lut_index(hits, curve.shape[0]), axis=0)
 
     return shard_map(
         local_replica,

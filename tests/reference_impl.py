@@ -70,11 +70,14 @@ def get_pixel(scene, x, y):
                 nu = float("nan")
             iters_f += 1.0 - nu
         mult = iters_f / float(scene.iterations) * scene.exposure
+        # color_multiply routes through the swapped RGB::new(r, b, g)
+        # (calc/src/lib.rs:129, 133-139): output fields in true (r, g, b)
+        # order are (r·m, b·m, g·m) of the stored color.
         p = scene.primary_color
-        return (rust_u8(p.r * mult), rust_u8(p.g * mult), rust_u8(p.b * mult))
+        return (rust_u8(p.r * mult), rust_u8(p.b * mult), rust_u8(p.g * mult))
     elif scene.inside:
         s = scene.secondary_color
-        return (rust_u8(s.r * dist), rust_u8(s.g * dist), rust_u8(s.b * dist))
+        return (rust_u8(s.r * dist), rust_u8(s.b * dist), rust_u8(s.g * dist))
     return (0, 0, 0)
 
 
@@ -90,12 +93,21 @@ def render_scalar(scene):
 
 
 def subtract_pixel_once(value, primary, weight):
-    """One application of the fern darkening (src/lib.rs:399-406)."""
-    out = []
-    for pc, vc in zip(value, primary):
+    """One application of the fern darkening (src/lib.rs:399-406).
+
+    The three darkened channels are fed back through the swapped
+    ``RGB::new(r, b, g)`` constructor, so in true (r, g, b) order each hit
+    writes r ← r·f(v.r), g ← b·f(v.b), b ← g·f(v.g): the g/b channels
+    alternate across hits.
+    """
+
+    def factor(vc):
         if vc == 0:
-            out.append(0)
-            continue
-        f = 1.0 / ((((1.0 / (vc / 255.0)) - 1.0) * weight) + 1.0)
-        out.append(rust_u8(pc * f))
-    return tuple(out)
+            return 0.0  # 1/(0/255) = inf in Rust f64 ⇒ factor 0
+        return 1.0 / ((((1.0 / (vc / 255.0)) - 1.0) * weight) + 1.0)
+
+    pr, pg, pb = value
+    vr, vg, vb = primary
+    return (rust_u8(pr * factor(vr)),
+            rust_u8(pb * factor(vb)),
+            rust_u8(pg * factor(vg)))

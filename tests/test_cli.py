@@ -86,10 +86,31 @@ def test_scale_group_conflicts():
 
 
 def test_hex_colors_compat_swap():
+    # Escape scenes always store the reference's swapped fields (the
+    # render-time swap in color_multiply cancels it, so hex renders true);
+    # --true-colors is a no-op there.
     o = parse_options("--primary-color 102030".split())
     assert o.scene.primary_color == RGB(0x10, 0x30, 0x20)
     o = parse_options("--primary-color 102030 --true-colors".split())
+    assert o.scene.primary_color == RGB(0x10, 0x30, 0x20)
+    # The fern has no cancelling second swap: --true-colors de-swaps storage.
+    o = parse_options("-a fern --primary-color 102030".split())
+    assert o.scene.primary_color == RGB(0x10, 0x30, 0x20)
+    o = parse_options("-a fern --primary-color 102030 --true-colors".split())
     assert o.scene.primary_color == RGB(0x10, 0x20, 0x30)
+
+
+def test_escape_hex_color_renders_true():
+    """End-to-end: a hex primary must land in the image un-swapped (the
+    reference's parse-time and render-time swaps cancel)."""
+    import numpy as np
+    from fractal_tpu.render import render
+
+    o = parse_options(
+        "--primary-color ff0080 -d -i 30 -e 1000 --precision f64 24 16".split())
+    img = np.asarray(render(o.scene, backend="jnp"))
+    esc = img[(img != 0).any(-1)]  # -d: every lit pixel is an escape pixel
+    assert esc.size and (esc[:, 1] == 0).all() and (esc[:, 2] > 0).any()
 
 
 def test_output_suffix_rule():

@@ -34,13 +34,44 @@ def test_darkening_curve_matches_iterated_subtract_pixel():
         p = ref.subtract_pixel_once(p, prim, w)
 
 
-def test_darkening_curve_zero_channel_and_fixed_point():
+def test_darkening_curve_zero_channel_and_cycle():
     curve = fern_mod.darkening_curve((200, 200, 200), (0, 128, 255), 0.5)
     assert curve[1][0] == 0          # v=0 ⇒ factor 0 ⇒ black after one hit
-    assert curve[-1][2] == 200       # v=255 ⇒ factor 1 ⇒ never darkens
-    # curve terminates at a fixed point well inside 256 entries + is monotone
-    assert len(curve) <= 257
-    assert (np.diff(curve[:, 1].astype(int)) <= 0).all()
+    # per hit: g ← b·f(v.b)=b·1, b ← g·f(v.g) — channels alternate, both decay
+    assert curve[1][1] == 200 and curve[1][2] < 200
+    assert len(curve) <= 1025
+    # the two-step subsequences are monotone nonincreasing per channel
+    g = curve[:, 1].astype(int)
+    assert (np.diff(g[0::2]) <= 0).all() and (np.diff(g[1::2]) <= 0).all()
+    # terminal 2-cycle invariant used by lut_index: step(last) == second-last
+    from tests import reference_impl as ref
+    assert ref.subtract_pixel_once(tuple(curve[-1]), (0, 128, 255), 0.5) == \
+        tuple(curve[-2])
+
+
+def test_darkening_alternating_swap_matches_reference_recurrence():
+    """ADVICE r1: the reference's subtract_pixel feeds its result back
+    through the swapped RGB::new, so g/b alternate across hits — the LUT
+    must reproduce that, not straight per-channel powers."""
+    bg, prim, w = (240, 230, 220), (4, 3, 100), 0.01
+    curve = fern_mod.darkening_curve(bg, prim, w)
+    p = bg
+    for n in range(len(curve)):
+        assert tuple(curve[n]) == tuple(p), f"hit {n}"
+        p = ref.subtract_pixel_once(p, prim, w)
+    # with f(v.b)≈0.985 vs f(v.g)≈0.54 the channels visibly alternate
+    assert curve[1][1] != curve[1][2]
+
+
+def test_lut_index_parity_extension():
+    import jax.numpy as jnp
+
+    curve = fern_mod.darkening_curve((240, 240, 240), (4, 3, 100), 0.01)
+    L = len(curve)
+    n = jnp.asarray([0, 1, L - 2, L - 1, L, L + 1, L + 2, L + 7])
+    idx = np.asarray(fern_mod.lut_index(n, L))
+    assert list(idx[:4]) == [0, 1, L - 2, L - 1]
+    assert list(idx[4:]) == [L - 2, L - 1, L - 2, L - 1]
 
 
 def test_untouched_pixels_keep_background():
