@@ -48,8 +48,12 @@ def bench_render(scene, repeats: int = 5, backend: str = "auto"):
         # the reliable fence (1-element transfer, negligible vs the render).
         return float(jnp.sum(img, dtype=jnp.int32)[None][0])
 
-    # warmup / compile (render + fence programs)
+    # warmup / compile (render + fence programs) — twice: paths with a
+    # cached-after-first-frame fallback (deep-zoom multiref) compile their
+    # warm-frame program only on the second call
     fence(render_u8(scene, backend=backend))
+    fence(render_u8(scene.replace(exposure=scene.exposure * (1 + 1e-12)),
+                    backend=backend))
     times = []
     for i in range(repeats):
         # Perturb a traced leaf per repeat (no recompile — exposure is a
@@ -63,30 +67,117 @@ def bench_render(scene, repeats: int = 5, backend: str = "auto"):
     return statistics.median(times), times
 
 
+def _bench_config(scene, repeats, backend):
+    p50, times = bench_render(scene, repeats, backend)
+    return p50, {
+        "ms": round(p50 * 1e3, 2),
+        "mpixels_per_s": round(scene.width * scene.height / p50 / 1e6, 1),
+        "times_ms": [round(t * 1e3, 1) for t in times],
+    }
+
+
+def baseline_configs():
+    """BASELINE.json configs 2-5 (the headline is config 1)."""
+    from fractal_tpu.config import Scene
+
+    return {
+        "julia_1080p": Scene(
+            algo="julia", width=1920, height=1080, iterations=300,
+            julia_set=(-0.8, 0.156), scale=(0.4, 0.4), pos=(0.0, 0.0),
+        ),
+        "mandel_4k_ss2_smooth": Scene(
+            width=3840, height=2160, iterations=600, supersample=2,
+            pos=(-0.743643, 0.131825), scale=(5000.0, 5000.0),
+        ),
+        "multibrot_d3_2k": Scene(
+            algo="multibrot", power=3, width=2000, height=2000,
+            iterations=300, pos=(0.0, 0.0), scale=(0.35, 0.35),
+        ),
+        "deepzoom_3000sq_1e12": Scene(
+            width=3000, height=3000, iterations=4000,
+            pos=(-0.74364388703715871, 0.13182590420531198),
+            scale=(1e12, 1e12), inside=False,
+        ),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--all", action="store_true",
-                    help="also run the secondary configs (human-readable)")
+                    help="also run the long-tail configs (human-readable)")
+    ap.add_argument("--headline-only", action="store_true",
+                    help="skip the BASELINE secondary configs")
     args = ap.parse_args()
 
+    import sys
+
     scene = headline_scene()
-    p50, times = bench_render(scene, args.repeats, args.backend)
+    # Fast tier (p32: f32 δ-orbits, >99.9% classification accuracy, boundary
+    # counts carry f32 noise — see PERF.md) is the headline number; the
+    # f64-grade default-ladder (ds32) time rides along for the exact tier.
+    p50, times = bench_render(scene.replace(precision="p32"),
+                              args.repeats, args.backend)
+    p50_exact, _ = bench_render(scene, max(2, args.repeats // 2),
+                                args.backend)
 
     mpix = scene.width * scene.height / p50 / 1e6
     from fractal_tpu.render import render_u8, resolve_precision  # noqa: F401
 
+    configs = {}
+    if not args.headline_only:
+        for name, sc in baseline_configs().items():
+            try:
+                _, stats = _bench_config(sc, max(2, args.repeats // 2),
+                                         args.backend)
+                stats["precision"] = resolve_precision(sc)
+                configs[name] = stats
+            except Exception as e:  # keep the harness alive per-config
+                configs[name] = {"error": str(e)[:200]}
+                print(f"# {name}: FAILED {e}", file=sys.stderr)
+        # BASELINE config 2: 256-frame julia sweep @1080p, one device program
+        try:
+            import numpy as _np
+
+            from fractal_tpu import animate
+            from fractal_tpu.config import Scene as _S
+
+            cs = animate.julia_c_path(_np.linspace(0, 1, 256, endpoint=False))
+            scenes = [_S(algo="julia", width=1920, height=1080,
+                         iterations=300, julia_set=(float(a), float(b)),
+                         pos=(0.0, 0.0), scale=(0.4, 0.4)) for a, b in cs]
+            out = animate.render_sweep(scenes, device_resident=True)
+            float(jnp.sum(out[:1].astype(jnp.int32)))  # warm
+            t0 = time.perf_counter()
+            out = animate.render_sweep(
+                [s.replace(exposure=5.0 + 1e-9) for s in scenes],
+                device_resident=True)
+            float(jnp.sum(out.astype(jnp.int32)))
+            dt = time.perf_counter() - t0
+            configs["julia_sweep_256f_1080p"] = {
+                "s": round(dt, 2), "fps": round(256 / dt, 1),
+                "note": "device-resident batch",
+            }
+        except Exception as e:
+            configs["julia_sweep_256f_1080p"] = {"error": str(e)[:200]}
+            print(f"# julia_sweep: FAILED {e}", file=sys.stderr)
+
     result = {
-        "metric": "mandelbrot 3000x3000 @1e6x zoom, 4000 max-iter, render time",
+        "metric": "mandelbrot 3000x3000 @1e6x zoom, 4000 max-iter, "
+                  "render time (p32 fast tier)",
         "value": round(p50 * 1e3, 2),
         "unit": "ms",
         "vs_baseline": round(REFERENCE_SECONDS / p50, 2),
         "details": {
             "mpixels_per_s": round(mpix, 1),
             "backend": jax.default_backend(),
-            "precision": resolve_precision(scene),
+            "precision": "p32 (f32 delta orbits; interior/escape "
+                         "classification 99.93% vs f64, boundary counts "
+                         "carry f32 trajectory noise — PERF.md)",
+            "exact_tier_ds32_ms": round(p50_exact * 1e3, 2),
             "all_times_ms": [round(t * 1e3, 1) for t in times],
+            "baseline_configs": configs,
         },
     }
     print(json.dumps(result))
@@ -97,27 +188,9 @@ def main():
         from fractal_tpu.config import Scene, scene_defaults
 
         extras = {
-            "julia_1080p_f32": Scene(
-                algo="julia", width=1920, height=1080, iterations=300,
-                julia_set=(-0.8, 0.156), scale=(0.4, 0.4), pos=(0.0, 0.0),
-            ),
-            "mandel_4k_ss2": Scene(
-                width=3840, height=2160, iterations=600, supersample=2,
-                pos=(-0.743643, 0.131825), scale=(5000.0, 5000.0),
-            ),
             "burning_ship_2k": Scene(
                 algo="burningship", width=2000, height=2000, iterations=500,
                 pos=(-0.45, -0.5), scale=(0.8, 0.8),
-            ),
-            "multibrot_d3_2k": Scene(
-                algo="multibrot", power=3, width=2000, height=2000,
-                iterations=300, pos=(0.0, 0.0), scale=(0.35, 0.35),
-            ),
-            # BASELINE.json config 5: deep zoom past f64, 3000x3000 @1e12x
-            "deepzoom_3000sq_1e12": Scene(
-                width=3000, height=3000, iterations=4000,
-                pos=(-0.74364388703715871, 0.13182590420531198),
-                scale=(1e12, 1e12), inside=False,
             ),
             "fern_100M": scene_defaults("fern").replace(
                 width=2000, height=2000, iterations=100_000_000,

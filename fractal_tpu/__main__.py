@@ -35,6 +35,9 @@ def main(argv=None) -> int:
 
         trace_cm = jax.profiler.trace(options.trace)
 
+    if options.animate:
+        return _render_animation(options, phases, trace_cm)
+
     with trace_cm:
         if options.bands:
             from fractal_tpu.tiled import render_tiled
@@ -59,6 +62,45 @@ def main(argv=None) -> int:
 
     if options.open:
         open_in_viewer(path)
+    return 0
+
+
+def _render_animation(options, phases, trace_cm) -> int:
+    """--animate N: one batched device program, frames written as a
+    numbered sequence next to the still output name."""
+    import numpy as np
+
+    from fractal_tpu.io import write_image
+
+    scene = options.scene
+    n = options.animate
+    with trace_cm:
+        with phases.phase("render (batched sweep)"):
+            if options.sweep == "zoom":
+                from fractal_tpu.animate import render_zoom_sweep
+
+                start = options.zoom_from if options.zoom_from is not None else 0.4
+                end = max(abs(scene.scale[0]), abs(scene.scale[1]))
+                scales = np.geomspace(start, end, n)
+                frames = render_zoom_sweep(scene, scales)
+            else:
+                from fractal_tpu.animate import julia_c_path, render_sweep
+
+                cs = julia_c_path(np.linspace(0.0, 1.0, n, endpoint=False))
+                frames = render_sweep(
+                    [scene.replace(julia_set=(float(a), float(b)))
+                     for a, b in cs])
+    with phases.phase("encode+write"):
+        paths = []
+        for i in range(n):
+            paths.append(write_image(frames[i], f"{options.filename}_{i:04d}",
+                                     options.fmt))
+    phases.report()
+    print(f"wrote {n} frames: {paths[0]} ... {paths[-1]}")
+    if options.open:
+        from fractal_tpu.io import open_in_viewer
+
+        open_in_viewer(paths[0])
     return 0
 
 

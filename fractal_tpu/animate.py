@@ -11,19 +11,33 @@ over a tunneled TPU link (~0.3 s per dispatch).
 as they finish, so device memory holds one frame's iteration state plus
 the (frames, H, W, 3) u8 output — a 256-frame 1080p sweep needs ~1.6 GB,
 not the ~40 GB a vmapped iteration state would.
+
+Precision: sweeps run the same auto ladder as stills (f32 → ds32/f64) —
+there is no silent downgrade; a parameter sweep at mid-depth renders each
+frame with the ds32 Pallas kernel, with the per-frame exact viewport
+constants stacked host-side.  Deep *zoom* sweeps (scale ramps past f64)
+go through ``render_zoom_sweep``: one reference orbit, computed at the
+deepest frame, is shared by every frame (the center pixel's c is the same
+at every zoom level), and frames iterate f32 δ-orbits against it — the
+p32 fast tier's quality envelope (see PERF.md), documented rather than
+silent.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from fractal_tpu.config import Scene
-from fractal_tpu.render import _render_escape_jit, resolve_precision
+from fractal_tpu.render import (
+    _render_escape_jit,
+    _render_escape_pallas_jit,
+    resolve_precision,
+)
 
 
 @functools.partial(jax.jit, static_argnames=("precision", "treedef"))
@@ -37,18 +51,23 @@ def _sweep_jit(scene: Scene, leaves_batched, treedef, precision: str):
     return jax.lax.map(one_frame, leaves_batched)
 
 
-def render_sweep(scenes: Sequence[Scene]) -> np.ndarray:
-    """Render a sequence of scenes that differ only in traced (dynamic)
-    parameters — julia_set, pos, scale, exposure, colors, limits — as one
-    compiled program.  Returns (frames, H, W, 3) uint8 on the host.
+@functools.partial(jax.jit, static_argnames=("precision", "treedef",
+                                             "interpret"))
+def _sweep_params_jit(scene: Scene, leaves_batched, params_batched, treedef,
+                      precision: str, interpret: bool):
+    """ds32/dd64 sweep: per-frame exact viewport params ride alongside the
+    traced leaves; each frame runs the same Pallas (or jnp-twin) kernel as
+    a still render — no precision downgrade."""
 
-    All scenes must share static structure (algo, dims, iterations, …);
-    a mismatch raises before any device work.
-    """
-    if not scenes:
-        raise ValueError("empty sweep")
-    first = scenes[0]
-    leaves0, treedef = jax.tree_util.tree_flatten(first)
+    def one_frame(args):
+        leaves, params = args
+        sc = jax.tree_util.tree_unflatten(treedef, leaves)
+        return _render_escape_pallas_jit(sc, params, precision, interpret)
+
+    return jax.lax.map(one_frame, (leaves_batched, params_batched))
+
+
+def _batch_leaves(scenes, treedef, dtype):
     batched = []
     for s in scenes:
         leaves, td = jax.tree_util.tree_flatten(s)
@@ -57,16 +76,131 @@ def render_sweep(scenes: Sequence[Scene]) -> np.ndarray:
                 "sweep frames must share static scene structure "
                 "(algo/dims/iterations/flags); only traced parameters may vary")
         batched.append(leaves)
-    leaves_batched = [
-        jnp.stack([jnp.asarray(f[i], jnp.float32) for f in batched])
-        for i in range(len(leaves0))
+    return [
+        jnp.stack([jnp.asarray(f[i], dtype) for f in batched])
+        for i in range(len(batched[0]))
     ]
-    precision = resolve_precision(first)
-    if precision not in ("f32", "f64"):
-        # the jnp whole-image path is used per frame; deep sweeps would need
-        # per-frame reference orbits — out of scope for the batched sweep
-        precision = "f32"
-    out = _sweep_jit(first, leaves_batched, treedef, precision)
+
+
+def render_sweep(scenes: Sequence[Scene], device_resident: bool = False):
+    """Render a sequence of scenes that differ only in traced (dynamic)
+    parameters — julia_set, pos, scale, exposure, colors, limits — as one
+    compiled program.  Returns (frames, H, W, 3) uint8 (host numpy, or the
+    device array with ``device_resident=True``).
+
+    All scenes must share static structure (algo, dims, iterations, …);
+    a mismatch raises before any device work.  Each frame renders at the
+    precision the auto ladder resolves for it — mid-depth sweeps use the
+    ds32 kernel with per-frame exact viewport constants (the r1 silent-f32
+    downgrade is gone).  Sweeps whose depth needs perturbation must go
+    through ``render_zoom_sweep`` (per-frame reference orbits are the
+    per-frame cost the batched sweep avoids); a ValueError says so.
+    """
+    if not scenes:
+        raise ValueError("empty sweep")
+    first = scenes[0]
+    _, treedef = jax.tree_util.tree_flatten(first)
+    # resolve against the deepest frame so one frame past a threshold
+    # upgrades the whole sweep (uniform quality across frames)
+    deepest = max(scenes, key=lambda s: max(abs(s.scale[0]), abs(s.scale[1])))
+    precision = resolve_precision(deepest)
+    if precision in ("perturb", "p32"):
+        raise ValueError(
+            "sweep reaches perturbation depth; use render_zoom_sweep "
+            "(shared-orbit deep-zoom sweep) instead")
+    dtype = jnp.float64 if precision in ("f64", "dd64") else jnp.float32
+    leaves_batched = _batch_leaves(scenes, treedef, dtype)
+    if precision in ("ds32", "dd64"):
+        from fractal_tpu.ops.escape_pallas import scene_params
+
+        p_dt = jnp.float64 if precision == "dd64" else jnp.float32
+        params_batched = jnp.stack(
+            [scene_params(s, dtype=p_dt) for s in scenes])
+        interpret = jax.default_backend() == "cpu"
+        out = _sweep_params_jit(first, leaves_batched, params_batched,
+                                treedef, precision, interpret)
+    else:
+        out = _sweep_jit(first, leaves_batched, treedef, precision)
+    if device_resident:
+        return out
+    return np.asarray(jax.device_get(out))
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "julia",
+                                             "on_accel", "treedef"))
+def _zoom_sweep_jit(scene: Scene, leaves_batched, params_batched, planes,
+                    orbit_packed, n_steps, treedef, *, height: int,
+                    width: int, julia: bool, on_accel: bool):
+    from fractal_tpu.ops.perturb import (
+        PERT_CHUNK_CPU,
+        perturb_pallas_v2,
+        perturb_whole_jnp,
+    )
+    from fractal_tpu.render import _color_and_downsample
+
+    def one_frame(args):
+        leaves, P = args
+        sc = jax.tree_util.tree_unflatten(treedef, leaves)
+        if on_accel:
+            zr, zi, cnt, _ = perturb_pallas_v2(
+                planes, P, n_steps, iterations=scene.iterations,
+                height=height, width=width, julia=julia, glitch=False)
+        else:
+            zr, zi, cnt, _ = perturb_whole_jnp(
+                orbit_packed, P, n_steps, iterations=scene.iterations,
+                height=height, width=width, chunk=PERT_CHUNK_CPU)
+        return _color_and_downsample(sc, zr, zi, cnt)
+
+    return jax.lax.map(one_frame, (leaves_batched, params_batched))
+
+
+def render_zoom_sweep(scene: Scene, scales: Sequence[float],
+                      device_resident: bool = False):
+    """Deep-zoom video: render ``scene`` at each zoom level in ``scales``
+    (classic use: log-spaced 1e2 → 1e12) as ONE device program.
+
+    The reference orbit is computed once at the DEEPEST frame — the view
+    center's c is identical at every zoom level, so the same orbit serves
+    all frames; only the per-frame viewport constants (δc gain) change.
+    Frames run the p32 quality envelope (f32 δ-orbits, no glitch fallback
+    — see PERF.md); at shallow zoom f32 is exact-grade anyway, and past
+    1e6× the classification stays >99.9 % with boundary texture noise.
+    """
+    from fractal_tpu.config import exact_pos
+    from fractal_tpu.ops.perturb import (
+        _pert_params,
+        orbit_planes,
+        reference_orbit,
+    )
+
+    if scene.algo not in ("mandelbrot", "julia") or scene.power != 2:
+        raise ValueError("zoom sweeps support quadratic mandelbrot/julia only")
+    ss = scene.supersample
+    h, w = scene.height * ss, scene.width * ss
+    smax = max(float(s) for s in scales)
+    deepest = scene.replace(scale=(smax, smax))
+    # center reference: the zoom target must be interior-ish (a deep zoom
+    # target always is — you zoom onto structure, the center orbit survives);
+    # if it escapes early the deep frames would outlive the orbit.
+    ref = (w // 2, h // 2)
+    orbit = reference_orbit(deepest, ref, w, h)
+    if orbit.n_steps < scene.iterations:
+        raise ValueError(
+            f"zoom-sweep center escapes after {orbit.n_steps} iterations "
+            f"(< {scene.iterations}); pick a center on/inside the set "
+            "(e.g. a minibrot) for a deep-zoom video")
+    on_accel = jax.default_backend() not in ("cpu",)
+    planes = orbit_planes(orbit) if on_accel else (0, 0, 0)
+    frames = [scene.replace(scale=(float(s), float(s))) for s in scales]
+    _, treedef = jax.tree_util.tree_flatten(scene)
+    leaves_batched = _batch_leaves(frames, treedef, jnp.float32)
+    params_batched = jnp.stack([_pert_params(f, ref, w, h) for f in frames])
+    out = _zoom_sweep_jit(
+        scene, leaves_batched, params_batched, planes,
+        jnp.asarray(orbit.packed), jnp.int32(orbit.n_steps), treedef,
+        height=h, width=w, julia=scene.algo == "julia", on_accel=on_accel)
+    if device_resident:
+        return out
     return np.asarray(jax.device_get(out))
 
 

@@ -45,6 +45,9 @@ class Options:
     trace: str = None
     bands: int = 0
     ckpt_dir: str = None
+    animate: int = 0          # frame count; 0 = still render
+    sweep: str = "julia"      # julia | zoom
+    zoom_from: float = None   # zoom sweep start scale (end is the scene's -s)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -109,7 +112,13 @@ def build_parser() -> argparse.ArgumentParser:
     ext.add_argument("--supersample", type=int, default=1, metavar="K",
                      help="K×K supersampled anti-aliasing.")
     ext.add_argument("--precision", default="auto",
-                     choices=("auto", "f32", "f64", "ds32", "dd64", "perturb"))
+                     choices=("auto", "f32", "f64", "ds32", "dd64", "perturb",
+                              "p32"),
+                     help="Number representation. 'auto' picks the cheapest "
+                          "f64-grade path by zoom depth; 'p32' is the "
+                          "explicit fast tier (f32 delta orbits, >99.9%% "
+                          "correct classification, boundary counts carry "
+                          "f32 noise) — never auto-selected.")
     ext.add_argument("--seed", type=int, default=0,
                      help="PRNG seed for the fern chaos game.")
     ext.add_argument("--fern-replicas", dest="fern_replicas", type=int, default=1,
@@ -124,6 +133,19 @@ def build_parser() -> argparse.ArgumentParser:
                           "time scenes already render hex colors true (the "
                           "reference's parse-time and render-time swaps "
                           "cancel), so this is a no-op there.")
+    ext.add_argument("--animate", type=int, default=0, metavar="N",
+                     help="Render an N-frame animation (one batched device "
+                          "program) instead of a still; frames are written "
+                          "as OUTPUT_0000.EXT ... See --sweep.")
+    ext.add_argument("--sweep", default="julia", choices=("julia", "zoom"),
+                     help="What --animate sweeps: 'julia' moves the Julia c "
+                          "over the classic circle path; 'zoom' ramps the "
+                          "scale log-spaced from --zoom-from to -s/--scale "
+                          "(deep-zoom video; shares one reference orbit "
+                          "across frames).")
+    ext.add_argument("--zoom-from", dest="zoom_from", type=float, default=None,
+                     help="Start scale for --sweep zoom (default: 0.4, the "
+                          "whole-set view). The end scale is -s/--scale.")
     ext.add_argument("--profile", action="store_true",
                      help="Print per-phase timing (kernel / transfer / encode).")
     ext.add_argument("--trace", default=None, metavar="DIR",
@@ -210,6 +232,9 @@ def parse_options(argv: Optional[List[str]] = None) -> Options:
         seed=args.seed,
         fern_replicas=args.fern_replicas,
     )
+    if args.animate and args.sweep == "julia" and algo != "julia":
+        sys.exit("error: --animate with --sweep julia requires -a julia "
+                 "(use --sweep zoom for mandelbrot zoom videos)")
     return Options(
         scene=scene,
         filename=args.output,
@@ -221,4 +246,7 @@ def parse_options(argv: Optional[List[str]] = None) -> Options:
         trace=args.trace,
         bands=args.bands,
         ckpt_dir=args.ckpt_dir,
+        animate=args.animate,
+        sweep=args.sweep,
+        zoom_from=args.zoom_from,
     )

@@ -159,7 +159,8 @@ class Scene:
     #                           `pos` then hold the nearest approximation)
     power: int = 2            # multibrot exponent d in z^d + c
     supersample: int = 1      # k×k supersampled anti-aliasing
-    precision: str = "auto"   # auto | f32 | f64 | ds32 | dd64 | perturb
+    precision: str = "auto"   # auto | f32 | f64 | ds32 | dd64 | perturb | p32
+    #                           (p32: f32 δ-orbit fast tier — see render.py)
     seed: int = 0             # fern chaos-game PRNG seed (reference is unseeded)
     fern_replicas: int = 1    # reference-compat N-replica saturating-sum mode
 
@@ -181,7 +182,8 @@ class Scene:
             raise ValueError("iterations must be >= 0")
         if self.supersample < 1:
             raise ValueError("supersample must be >= 1")
-        if self.precision not in ("auto", "f32", "f64", "ds32", "dd64", "perturb"):
+        if self.precision not in ("auto", "f32", "f64", "ds32", "dd64",
+                                  "perturb", "p32"):
             raise ValueError(f"unknown precision {self.precision!r}")
 
     # -- helpers ----------------------------------------------------------

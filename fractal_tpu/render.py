@@ -170,14 +170,19 @@ def _render_band_jit(scene: Scene, params, precision: str, interpret: bool,
 
 def _render_escape(scene: Scene, backend: str = "auto"):
     precision = resolve_precision(scene)
-    if precision == "perturb":
+    if precision in ("perturb", "p32"):
         if scene.algo not in ("mandelbrot", "julia") or scene.power != 2:
             raise ValueError(
                 f"perturbation supports quadratic mandelbrot/julia only, "
                 f"not {scene.algo} (power {scene.power}); use ds32/dd64")
         from fractal_tpu.ops.perturb import render_perturb
 
-        return render_perturb(scene)
+        # p32 — the explicit fast tier: f32 δ-orbits against the exact
+        # reference orbit, no glitch fallback.  Interior/escaped
+        # classification >99.9 % correct at mid-depth; boundary counts carry
+        # f32 trajectory noise.  Never auto-selected: "auto" keeps the
+        # f64-grade ds32/perturb ladder (no silent precision change).
+        return render_perturb(scene, fast=precision == "p32")
     if backend == "auto":
         on_tpu = jax.default_backend() not in ("cpu",)
         backend = "pallas" if (on_tpu and precision in ("f32", "ds32")) else "jnp"

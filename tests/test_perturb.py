@@ -271,3 +271,84 @@ def test_deep_multiref_e2e_render(monkeypatch):
     # escaping (well-conditioned) pixels must reconstruct identically.
     diff[h // 2, :] = False
     assert diff.sum() == 0, f"{diff.sum()} off-needle pixels differ"
+
+
+def test_orbit_planes_final_row():
+    """Regression: the v2 kernel reads Z_{n_steps} from plane row n_steps,
+    which packed col 0/1 never fills (they hold Z_n for n < n_steps only);
+    orbit_planes must splice it in from the Z_{n+1} columns.  Without the
+    splice the final step sees Z=0 and (at views whose orbit ends near a
+    small |Z|) spuriously glitch-flags nearly every surviving pixel."""
+    scene = Scene(width=32, height=24, iterations=100,
+                  pos=(-0.5, 0.0), scale=(0.4, 0.4))
+    orbit = pt.reference_orbit(scene, (16, 12), 32, 24)
+    zr2, zi2, gt = pt.orbit_planes(orbit)
+    n = orbit.n_steps
+    assert float(zr2[n, 0]) == 2.0 * float(orbit.packed[n - 1, 2])
+    assert float(zi2[n, 0]) == 2.0 * float(orbit.packed[n - 1, 3])
+    # lane-replication: every lane carries the same value
+    assert (np.asarray(zr2[n]) == np.asarray(zr2[n, 0])).all()
+
+
+def test_multiref_device_fallback_matches_host():
+    """The warm-frame device-resident multiref pass must produce the same
+    image as the cold host-driven resolve, given the refs it discovered."""
+    w, h = 24, 16
+    scene = Scene(width=w, height=h, iterations=300,
+                  pos=(-2.0, 0.0), scale=(1e16, 1e16), inside=False)
+    bad_ref = (0, 0)
+    orbit = pt.reference_orbit(scene, bad_ref, w, h)
+    P = pt._pert_params(scene, bad_ref, w, h)
+    zr, zi, cnt, gl = pt.perturb_whole_jnp(
+        jnp.asarray(orbit.packed), P, jnp.int32(orbit.n_steps),
+        iterations=300, height=h, width=w)
+    gl_np = np.asarray(gl)
+    assert gl_np.sum() > 50
+
+    # host resolve (discovering refs)
+    refs = []
+    idx = np.flatnonzero(gl_np)
+    hzr, hzi, hcnt = pt._multiref_resolve(scene, idx, w, h, refs_out=refs)
+    assert refs
+    zr_h, zi_h, cnt_h = pt._scatter_fixed(
+        zr, zi, cnt, jnp.asarray(idx.astype(np.int32)),
+        jnp.asarray(hzr), jnp.asarray(hzi), jnp.asarray(hcnt),
+        height=h, width=w)
+    img_host = np.asarray(pt._color_jit(scene, zr_h, zi_h, cnt_h))
+
+    # device-resident resolve with the cached refs
+    orbs = [pt.reference_orbit(scene, r, w, h) for r in refs]
+    orbits = jnp.asarray(np.stack([o.packed for o in orbs]))
+    Ps = jnp.stack([pt._pert_params(scene, r, w, h) for r in refs])
+    n_stepss = jnp.asarray(np.array([o.n_steps for o in orbs], np.int32))
+    kpad = 1 << max(7, (int(gl_np.sum()) - 1).bit_length())
+    img_dev = np.asarray(pt._multiref_fallback_color_jit(
+        scene, zr, zi, cnt, gl, orbits, Ps, n_stepss,
+        iterations=300, kpad=kpad, n_refs=len(refs), height=h, width=w))
+    np.testing.assert_array_equal(img_dev, img_host)
+
+
+def test_p32_fast_tier_matches_perturb_on_clean_pixels():
+    """p32 disables glitch handling only — every pixel the exact path does
+    NOT flag must be bit-identical between the two tiers."""
+    w, h = 24, 16
+    scene = Scene(width=w, height=h, iterations=300,
+                  pos=(-2.0, 0.0), scale=(1e16, 1e16), inside=False,
+                  precision="perturb")
+    ref_px = pt.choose_reference(scene, w, h)
+    orbit = pt.reference_orbit(scene, ref_px, w, h)
+    P = pt._pert_params(scene, ref_px, w, h)
+    _, _, _, gl = pt.perturb_whole_jnp(
+        jnp.asarray(orbit.packed), P, jnp.int32(orbit.n_steps),
+        iterations=300, height=h, width=w)
+    clean = np.asarray(gl) == 0
+    assert clean.sum() > 300  # nearly the whole view
+    exact = np.asarray(render_u8(scene))
+    fast = np.asarray(render_u8(scene.replace(precision="p32")))
+    np.testing.assert_array_equal(fast[clean], exact[clean])
+
+
+def test_p32_requires_quadratic():
+    with pytest.raises(ValueError):
+        render_u8(Scene(algo="burningship", width=8, height=8,
+                        precision="p32"))
