@@ -127,10 +127,16 @@ def render_escape_sharded(scene: Scene, mesh: Optional[Mesh] = None,
 
     mesh = mesh if mesh is not None else make_mesh()
     precision = precision or resolve_precision(scene)
-    if precision == "perturb":
+    if precision in ("perturb", "p32"):
         return render_perturb_sharded(scene, mesh)
     if precision not in ("f32", "ds32"):
-        precision = "f32" if precision == "f32" else "ds32"
+        # No silent downgrade (r1 coerced f64/dd64 to ds32, losing ~58 bits
+        # of a dd64 request without a word): the sharded kernels are the
+        # f32/ds32 Pallas pair; deeper requests must pick an explicit path.
+        raise ValueError(
+            f"sharded rendering supports f32/ds32/perturb, not "
+            f"{precision!r}; use precision='ds32' (f64-grade on TPU) or "
+            f"'perturb' for deeper zooms")
     use_pallas = jax.default_backend() not in ("cpu",)
     params = scene_params(scene)
     return _render_escape_sharded_jit(scene, params, precision, use_pallas, mesh)

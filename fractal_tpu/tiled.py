@@ -55,9 +55,22 @@ def render_tiled(scene: Scene, band_rows: int = 512,
         raise ValueError("banded rendering applies to escape-time scenes; "
                          "the fern chaos game is a global scatter")
     precision = resolve_precision(scene)
-    if precision == "perturb":
+    if precision in ("perturb", "p32"):
+        # No silent behavior change (r1 quietly ignored --bands and
+        # --checkpoint-dir here): the perturbation path already renders in
+        # device-internal bands with its own early exit, but has no
+        # persistence — a resume request must fail loudly, and a plain
+        # --bands request falls through to the one-shot render.
+        if ckpt_dir is not None:
+            raise ValueError(
+                "checkpoint/resume is not available for perturbation-depth "
+                "scenes yet (the perturbation path bands internally but "
+                "does not persist); drop --checkpoint-dir or render at "
+                "precision='ds32'")
         from fractal_tpu.render import render_u8
 
+        if progress:
+            progress("perturbation path: internal banding, --bands ignored")
         return np.asarray(jax.device_get(render_u8(scene)))
 
     ss = scene.supersample

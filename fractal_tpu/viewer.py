@@ -75,6 +75,31 @@ def scene_from_dict(d: dict) -> Scene:
     return Scene(**kw)
 
 
+def apply_nav(scene: Scene, pan=None, zoom=None) -> Scene:
+    """Apply a pan/zoom navigation step in EXACT (Fraction) position space.
+
+    The browser's f64 `pos` snaps to the f64 grid below ~1e16× zoom, so pan
+    deltas are applied server-side: `pan` is the reference GUI's pre-scale
+    step (±0.5·dt per axis, gui.rs:287-301), divided by scale in rational
+    arithmetic and folded into `pos_str` — interactive navigation keeps
+    full precision at any depth the batch renderer supports.
+    """
+    from fractions import Fraction
+
+    from fractal_tpu.config import exact_pos
+
+    if pan:
+        dx, dy = pan
+        ex, ey = exact_pos(scene)
+        ex += Fraction(float(dx)) / Fraction(float(scene.scale[0]))
+        ey += Fraction(float(dy)) / Fraction(float(scene.scale[1]))
+        scene = scene.replace(pos_str=(str(ex), str(ey)))
+    if zoom:
+        scene = scene.replace(scale=(scene.scale[0] * float(zoom),
+                                     scene.scale[1] * float(zoom)))
+    return scene
+
+
 # ---------------------------------------------------------------------------
 # Render worker: one in-flight render, latest-wins (gui.rs:37-48)
 # ---------------------------------------------------------------------------
@@ -209,6 +234,18 @@ def _make_handler(worker: RenderWorker, state: dict):
                 scene = scene_defaults(data.get("algo", "mandelbrot"))
                 scene = scene.replace(width=state["scene"].width,
                                       height=state["scene"].height)
+                state["scene"] = scene
+                worker.request(scene)
+                self._send(200, json.dumps(scene_to_dict(scene)).encode())
+            elif self.path == "/nav":
+                # pan/zoom applied server-side in exact Fraction space —
+                # survives past the browser's f64 grid (arbitrary depth)
+                try:
+                    scene = apply_nav(state["scene"], data.get("pan"),
+                                      data.get("zoom"))
+                except Exception as e:
+                    self._send(400, json.dumps({"error": str(e)}).encode())
+                    return
                 state["scene"] = scene
                 worker.request(scene)
                 self._send(200, json.dumps(scene_to_dict(scene)).encode())
@@ -354,16 +391,24 @@ window.addEventListener('keydown', e => {
     $('bar').style.display = $('bar').style.display === 'none' ? 'flex' : 'none';
 });
 window.addEventListener('keyup', e => keys[e.key] = false);
+// pan/zoom go through /nav: the server applies them in exact Fraction
+// space, so navigation works past the f64 grid (the browser's scene.pos
+// is only a display approximation at depth)
+async function nav(body) {
+  scene = await (await fetch('/nav', {method:'POST',
+      body: JSON.stringify(body)})).json();
+  syncControls();
+}
 setInterval(() => {
   const now = performance.now(), dt = (now - lastT) / 1000; lastT = now;
   if (!scene) return;
-  let moved = false;
-  const sx = 0.5 * dt / scene.scale[0], sy = 0.5 * dt / scene.scale[1];
-  if (keys['ArrowLeft'])  { scene.pos[0] -= sx; moved = true; }
-  if (keys['ArrowRight']) { scene.pos[0] += sx; moved = true; }
-  if (keys['ArrowUp'])    { scene.pos[1] -= sy; moved = true; }
-  if (keys['ArrowDown'])  { scene.pos[1] += sy; moved = true; }
-  if (moved) push();
+  // pre-scale pan step 0.5*dt (gui.rs:287-301); the server divides by scale
+  let dx = 0, dy = 0;
+  if (keys['ArrowLeft'])  dx -= 0.5 * dt;
+  if (keys['ArrowRight']) dx += 0.5 * dt;
+  if (keys['ArrowUp'])    dy -= 0.5 * dt;
+  if (keys['ArrowDown'])  dy += 0.5 * dt;
+  if (dx || dy) nav({pan: [dx, dy]});
 }, 60);
 window.addEventListener('wheel', e => {
   if (!scene) return;
@@ -371,8 +416,7 @@ window.addEventListener('wheel', e => {
   let f;
   if (e.deltaY < 0) f = 1 + d / 80;                                  // zoom in
   else f = 1 - Math.min(Math.log10(d / 10 + 1) / 2, 1.0);            // zoom out
-  scene.scale[0] *= f; scene.scale[1] *= f;
-  push();
+  nav({zoom: f});
 });
 
 fetchScene().then(poll);

@@ -107,3 +107,15 @@ def test_multihost_helpers_single_process():
     assert not multihost.is_multihost()
     lo, hi = multihost.local_row_range(100)
     assert (lo, hi) == (0, 100)
+
+
+def test_sharded_rejects_f64_dd64(mesh):
+    """r1 silently coerced an explicit f64/dd64 request to ds32 on a mesh;
+    it must now raise (VERDICT r1, silent degradations)."""
+    import pytest
+    from fractal_tpu.parallel.sharding import render_escape_sharded
+
+    scene = scene_defaults("mandelbrot").replace(width=32, height=16)
+    for prec in ("f64", "dd64"):
+        with pytest.raises(ValueError, match="sharded rendering supports"):
+            render_escape_sharded(scene, mesh, precision=prec)

@@ -67,3 +67,21 @@ def test_fern_rejected():
 
     with pytest.raises(ValueError, match="fern"):
         render_tiled(scene_defaults("fern"))
+
+
+def test_tiled_perturbation_checkpoint_errors_loudly(tmp_path):
+    """r1 silently ignored --bands/--checkpoint-dir for perturbation scenes;
+    a resume request must now fail loudly (VERDICT r1, silent degradations)."""
+    import pytest
+    from fractal_tpu.config import Scene
+    from fractal_tpu.tiled import render_tiled
+
+    scene = Scene(width=16, height=12, iterations=50,
+                  pos=(-0.74364388703715871, 0.13182590420531198),
+                  scale=(1e15, 1e15))
+    with pytest.raises(ValueError, match="checkpoint"):
+        render_tiled(scene, 8, str(tmp_path / "ck"))
+    # plain banded request (no persistence) still renders via the internal
+    # banding of the perturbation path
+    img = render_tiled(scene, 8, None)
+    assert img.shape == (12, 16, 3)
