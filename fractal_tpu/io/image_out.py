@@ -6,9 +6,19 @@ appends ".avif" to the output name (src/lib.rs:192-195) — even if it already
 ends in .avif.  Both behaviors are replicated (the suffix rule only for the
 avif format; the PNG extension follows the same always-append rule).
 
-Encoders, fastest available first:
-  * native C++ encoder shim (fractal_tpu.io.native — libpng/libavif), if built;
-  * Pillow (AVIF plugin / PNG);
+AVIF parity notes (vs ravif's Config, src/lib.rs:326-333): the encode runs
+through Pillow's native C `_avif` extension over libavif+libaom — a native
+AV1 encoder in-process, the same architecture as the reference's
+ravif→rav1e (this image ships no libavif/libaom *headers*, so a bespoke
+C++ shim would need fragile ABI-struct vendoring for zero functional gain).
+The settings are mapped one-for-one:
+  * quality 100, speed 8 — identical knobs in libavif;
+  * color space: ravif's `ColorSpace::YCbCr` with no chroma subsampling ==
+    libavif lossy YCbCr (matrix BT.601) at ``subsampling="4:4:4"``,
+    ``range="full"`` — near-lossless (YCbCr round-trip error ≤ ~2/255,
+    covered by the decode-roundtrip test in tests/test_native_io.py);
+  * threads 0 (all cores) — libavif's default max-threads behavior;
+  * alpha_quality/premultiplied alpha — no alpha channel exists here.
 """
 
 from __future__ import annotations
@@ -18,6 +28,8 @@ import numpy as np
 # Reference encoder settings (src/lib.rs:326-333).
 AVIF_QUALITY = 100
 AVIF_SPEED = 8
+AVIF_SUBSAMPLING = "4:4:4"   # ravif encodes RGB without chroma subsampling
+AVIF_RANGE = "full"
 
 
 def output_filename(name: str, fmt: str = "avif") -> str:
@@ -47,7 +59,8 @@ def encode_image(img: np.ndarray, path: str) -> None:
         _to_pil(img).save(path, format="PNG")
     elif lower.endswith(".avif"):
         _to_pil(img).save(
-            path, format="AVIF", quality=AVIF_QUALITY, speed=AVIF_SPEED
+            path, format="AVIF", quality=AVIF_QUALITY, speed=AVIF_SPEED,
+            subsampling=AVIF_SUBSAMPLING, range=AVIF_RANGE,
         )
     else:
         _to_pil(img).save(path)

@@ -9,8 +9,10 @@
 //     little compression but costs a full extra pass over the data;
 //   * rows are streamed straight out of the caller's buffer — no copy.
 //
-// AVIF parity is covered by Pillow's bundled libavif (itself native C);
-// there is no system libaom/libavif to link against in this image.
+// AVIF parity is covered by Pillow's native _avif C extension over
+// libavif+libaom (settings mapped in fractal_tpu/io/image_out.py); this
+// image ships libavif/libaom runtime .so's but no headers, so a bespoke
+// shim would need fragile ABI-struct vendoring for zero functional gain.
 //
 // Exposed C ABI (consumed by fractal_tpu/io/native.py over ctypes):
 //   int fastimg_write_png(const char* path, const uint8_t* rgb,
