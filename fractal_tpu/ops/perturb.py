@@ -521,7 +521,8 @@ def orbit_planes(orbit: RefOrbit):
 
 
 def _build_pert_kernel_v2(iterations: int, tile_h: int, tile_w: int,
-                          chunk: int, julia: bool, glitch: bool):
+                          chunk: int, julia: bool, glitch: bool,
+                          points: bool = False):
     """δ-orbit Pallas kernel, VPU-peak design (~22 element-ops/step).
 
     Re-design of the scalar-broadcast kernel (VERDICT r1 item 4):
@@ -541,21 +542,30 @@ def _build_pert_kernel_v2(iterations: int, tile_h: int, tile_w: int,
     """
     n_chunks = _cdiv(max(iterations, 1), chunk)
 
-    def kernel(ns_ref, p_ref, zr2_ref, zi2_ref, gt_ref,
-               zr_ref, zi_ref, cnt_ref, gl_ref):
-        ti = pl.program_id(0)
-        tj = pl.program_id(1)
+    def kernel(ns_ref, p_ref, zr2_ref, zi2_ref, gt_ref, *rest):
+        if points:
+            # arbitrary-pixel mode (glitch fallback): δc arrives as blocked
+            # VMEM inputs instead of being derived from the tile's iota
+            dcr_ref, dci_ref, zr_ref, zi_ref, cnt_ref, gl_ref = rest
+        else:
+            zr_ref, zi_ref, cnt_ref, gl_ref = rest
         f32 = jnp.float32
-        y0 = ti * tile_h
-        x0 = tj * tile_w
-        yy = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) + y0).astype(f32)
-        xx = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) + x0).astype(f32)
         P = [p_ref[i] for i in range(8)]
-        yy = yy * P[6] + P[7]  # global-row map (sharded stripes)
         n_steps = ns_ref[0]
         limit_sq = P[4]
-        dcr = (xx - P[2]) * P[0]
-        dci = (yy - P[3]) * P[1]
+        if points:
+            dcr = dcr_ref[:]
+            dci = dci_ref[:]
+        else:
+            ti = pl.program_id(0)
+            tj = pl.program_id(1)
+            y0 = ti * tile_h
+            x0 = tj * tile_w
+            yy = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) + y0).astype(f32)
+            xx = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) + x0).astype(f32)
+            yy = yy * P[6] + P[7]  # global-row map (sharded stripes)
+            dcr = (xx - P[2]) * P[0]
+            dci = (yy - P[3]) * P[1]
         # Julia: δc enters only through δz₀ (dc_gain P[5] = 0); folding the
         # gain at trace time drops the two per-step adds entirely.
         if julia:
@@ -567,7 +577,7 @@ def _build_pert_kernel_v2(iterations: int, tile_h: int, tile_w: int,
         zfr0 = 0.5 * zr2_ref[0:1, :] + dcr
         zfi0 = 0.5 * zi2_ref[0:1, :] + dci
         d0 = zfr0 * zfr0 + zfi0 * zfi0
-        cnt0 = jnp.zeros(xx.shape, jnp.int32)
+        cnt0 = jnp.zeros(dcr.shape, jnp.int32)
 
         inf = jnp.float32(jnp.inf)
 
@@ -672,6 +682,51 @@ def perturb_pallas_v2(planes, P, n_steps, *, iterations: int, height: int,
             transcendentals=0,
         ),
     )(n_steps, P, *planes)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "julia", "glitch", "tile_h",
+                              "chunk")
+)
+def perturb_pallas_v2_points(planes, P, n_steps, dcr, dci, *,
+                             iterations: int, julia: bool = False,
+                             glitch: bool = True, tile_h: int = 8,
+                             chunk: int = PERT_CHUNK):
+    """v2 kernel in arbitrary-pixel mode: δc arrives as (rows, 128) arrays
+    (one entry per flagged pixel) instead of being derived from tile iota —
+    the device-resident glitch-fallback engine.  Same VPU-peak loop as the
+    grid kernel; the XLA twin runs this batch shape ~70× slower (measured
+    2.4 G iters/s on a (1, 32k) batch vs the kernel's ~170)."""
+    rows_px = dcr.shape[0]
+    th = min(tile_h, rows_px)
+    kernel = _build_pert_kernel_v2(iterations, th, 128, chunk, julia,
+                                   glitch, points=True)
+    n_steps = jnp.asarray(n_steps, jnp.int32).reshape(1)
+    grid = (_cdiv(rows_px, th),)
+    outf = jax.ShapeDtypeStruct((rows_px, 128), jnp.float32)
+    outi = jax.ShapeDtypeStruct((rows_px, 128), jnp.int32)
+    block = lambda: pl.BlockSpec((th, 128), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            block(),
+            block(),
+        ],
+        out_specs=(block(), block(), block(), block()),
+        out_shape=(outf, outf, outi, outi),
+        cost_estimate=pl.CostEstimate(
+            flops=22 * iterations * rows_px * 128,
+            bytes_accessed=rows_px * 128 * 16 + iterations * 12 * 128,
+            transcendentals=0,
+        ),
+    )(n_steps, P, *planes, dcr, dci)
 
 
 def _build_pert_kernel(iterations: int, tile_h: int, tile_w: int, chunk: int):
@@ -829,11 +884,15 @@ _MULTIREF_CACHE: dict = {}
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "kpad", "n_refs",
-                                             "height", "width", "chunk"))
+                                             "height", "width", "chunk",
+                                             "julia", "use_pallas"))
 def _multiref_fallback_color_jit(scene, zr, zi, cnt, gl, orbits, Ps, n_stepss,
                                  *, iterations: int, kpad: int, n_refs: int,
                                  height: int, width: int,
-                                 chunk: int = PERT_CHUNK_CPU):
+                                 chunk: int = PERT_CHUNK_CPU,
+                                 julia: bool = False,
+                                 use_pallas: bool = False,
+                                 planes_list=None):
     """Device-resident multi-reference glitch resolution for warm frames.
 
     The cold frame discovers the secondary reference pixels on the host
@@ -857,16 +916,26 @@ def _multiref_fallback_color_jit(scene, zr, zi, cnt, gl, orbits, Ps, n_stepss,
     rows = orbits.shape[1]
 
     for r in range(n_refs):
-        orbit = orbits[r]
+        if use_pallas:
+            # δc per flagged pixel, shaped (kpad//128, 128) for the
+            # points-mode kernel (kpad is a pow-2 ≥ 128)
+            dcr = ((xs - Ps[r, 2]) * Ps[r, 0]).reshape(kpad // 128, 128)
+            dci = ((ys - Ps[r, 3]) * Ps[r, 1]).reshape(kpad // 128, 128)
+            rzr, rzi, rcnt, rgl = perturb_pallas_v2_points(
+                planes_list[r], Ps[r], n_stepss[r], dcr, dci,
+                iterations=iterations, julia=julia, glitch=True)
+        else:
+            orbit = orbits[r]
 
-        def load_block(n0, orbit=orbit):
-            start = jnp.minimum(n0, jnp.int32(rows - chunk))
-            return jax.lax.dynamic_slice(orbit, (start, jnp.int32(0)),
-                                         (chunk, 8))
+            def load_block(n0, orbit=orbit):
+                start = jnp.minimum(n0, jnp.int32(rows - chunk))
+                return jax.lax.dynamic_slice(orbit, (start, jnp.int32(0)),
+                                             (chunk, 8))
 
-        rzr, rzi, rcnt, rgl = _perturb_tile(
-            xs.reshape(1, kpad), ys.reshape(1, kpad), [Ps[r, i] for i in range(8)],
-            n_stepss[r], iterations, chunk, load_block)
+            rzr, rzi, rcnt, rgl = _perturb_tile(
+                xs.reshape(1, kpad), ys.reshape(1, kpad),
+                [Ps[r, i] for i in range(8)],
+                n_stepss[r], iterations, chunk, load_block)
         take = pending & ((rgl.ravel() == 0) | (r == n_refs - 1))
         fzr = jnp.where(take, rzr.ravel(), fzr)
         fzi = jnp.where(take, rzi.ravel(), fzi)
@@ -1141,17 +1210,21 @@ def render_perturb(scene, fast: bool = False):
                 jnp.asarray(np.stack([o.packed for o in orbs])),
                 jnp.stack([_pert_params(scene, r, w, h) for r in refs]),
                 jnp.asarray(np.array([o.n_steps for o in orbs], np.int32)),
+                tuple(orbit_planes(o) for o in orbs) if on_accel else None,
             )
             if len(_MULTIREF_CACHE) >= _ORBIT_CACHE_MAX:
                 _MULTIREF_CACHE.pop(next(iter(_MULTIREF_CACHE)))
             _MULTIREF_CACHE[view_key] = cached
         return _color_jit(scene, zr, zi, cnt)
-    orbits, Ps, n_stepss = cached
+    orbits, Ps, n_stepss, planes_list = cached
     kpad = 1 << max(7, (n - 1).bit_length())
     return _multiref_fallback_color_jit(
         scene, zr, zi, cnt, gl, orbits, Ps, n_stepss,
         iterations=scene.iterations, kpad=kpad, n_refs=orbits.shape[0],
         height=h, width=w, chunk=PERT_CHUNK if on_accel else PERT_CHUNK_CPU,
+        julia=scene.algo == "julia",
+        use_pallas=on_accel and planes_list is not None,
+        planes_list=planes_list,
     )
 
 
