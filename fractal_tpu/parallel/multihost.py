@@ -29,18 +29,31 @@ import jax
 _initialized = False
 
 
+_status = "not-initialized"
+
+
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None) -> None:
+               process_id: Optional[int] = None,
+               initialization_timeout: Optional[int] = None) -> None:
     """Join the multi-host cluster (idempotent; no-op if already joined).
 
     All arguments optional: on TPU pods the runtime supplies them.  Must be
     called before any other JAX API touches devices.
+
+    Failure semantics (r1 swallowed everything): with EXPLICIT coordinator
+    arguments the caller clearly intends a multi-host launch, so any
+    failure (unreachable coordinator, backend already initialized, bad
+    ids) RAISES.  Only the env-driven no-argument form treats "nothing to
+    join" as a clean single-host no-op; ``status()`` reports which case
+    happened.
     """
-    global _initialized
+    global _initialized, _status
     if _initialized or jax.process_count() > 1:
         _initialized = True
+        _status = "joined" if jax.process_count() > 1 else _status
         return
+    explicit = coordinator_address is not None
     kw = {}
     if coordinator_address is not None:
         kw["coordinator_address"] = coordinator_address
@@ -48,16 +61,29 @@ def initialize(coordinator_address: Optional[str] = None,
         kw["num_processes"] = num_processes
     if process_id is not None:
         kw["process_id"] = process_id
+    if initialization_timeout is not None:
+        kw["initialization_timeout"] = initialization_timeout
     try:
         jax.distributed.initialize(**kw)
-    except (ValueError, RuntimeError):
-        # ValueError: single-process environment without coordinator
-        # configuration — nothing to join, local devices work as-is.
-        # RuntimeError: the XLA backend is already up (e.g. a test suite
-        # rendered first) — in a real multi-host launch initialize() must
-        # be the first JAX call, so this can only be the single-host case.
-        pass
+        _status = "joined"
+    except (ValueError, RuntimeError) as e:
+        if explicit:
+            # an explicit coordinator that cannot be joined is an error,
+            # not a silent single-host fallback
+            raise RuntimeError(
+                f"multi-host initialize failed for coordinator "
+                f"{coordinator_address!r}: {e}") from e
+        # env-driven form: ValueError = single-process environment without
+        # coordinator configuration (nothing to join); RuntimeError = the
+        # XLA backend is already up (a real pod launch calls initialize()
+        # first, so this is the single-host case, e.g. a test suite).
+        _status = f"single-host ({type(e).__name__})"
     _initialized = True
+
+
+def status() -> str:
+    """'joined', 'single-host (...)', or 'not-initialized'."""
+    return _status
 
 
 def is_multihost() -> bool:

