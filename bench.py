@@ -211,32 +211,6 @@ def main():
             except Exception as e:  # keep the harness alive per-config
                 print(f"# {name}: FAILED {e}", file=sys.stderr)
 
-        # BASELINE.json config: 256-frame julia sweep @1080p, one program.
-        try:
-            from fractal_tpu import animate
-            from fractal_tpu.config import Scene
-
-            cs = animate.julia_c_path(np.linspace(0, 1, 256, endpoint=False))
-            scenes = [Scene(algo="julia", width=1920, height=1080,
-                            iterations=300, julia_set=(float(a), float(b)),
-                            pos=(0.0, 0.0), scale=(0.4, 0.4))
-                      for a, b in cs]
-            first = scenes[0]
-            _, treedef = jax.tree_util.tree_flatten(first)
-            batched = [jax.tree_util.tree_flatten(s)[0] for s in scenes]
-            lb = [jnp.stack([jnp.asarray(f[i], jnp.float32) for f in batched])
-                  for i in range(len(batched[0]))]
-            out = animate._sweep_jit(first, lb, treedef, "f32")
-            float(jnp.sum(out[0].astype(jnp.int32)))  # warm
-            t0 = time.perf_counter()
-            out = animate._sweep_jit(first, [x * 1.0 for x in lb], treedef, "f32")
-            float(jnp.sum(out.astype(jnp.int32)))  # device fence, no 1.6GB fetch
-            dt = time.perf_counter() - t0
-            print(f"# julia_sweep_256f_1080p: {dt:.2f} s compute "
-                  f"({256/dt:.0f} fps, device-resident)", file=sys.stderr)
-        except Exception as e:
-            print(f"# julia_sweep_256f_1080p: FAILED {e}", file=sys.stderr)
-
 
 if __name__ == "__main__":
     main()

@@ -76,8 +76,11 @@ def _batch_leaves(scenes, treedef, dtype):
                 "sweep frames must share static scene structure "
                 "(algo/dims/iterations/flags); only traced parameters may vary")
         batched.append(leaves)
+    # stack on the HOST, one device transfer per leaf — per-frame jnp ops
+    # would pay the tunnel's dispatch latency frames×leaves times
+    np_dt = np.float64 if dtype == jnp.float64 else np.float32
     return [
-        jnp.stack([jnp.asarray(f[i], dtype) for f in batched])
+        jnp.asarray(np.stack([np.asarray(f[i], np_dt) for f in batched]))
         for i in range(len(batched[0]))
     ]
 
