@@ -352,3 +352,39 @@ def test_p32_requires_quadratic():
     with pytest.raises(ValueError):
         render_u8(Scene(algo="burningship", width=8, height=8,
                         precision="p32"))
+
+
+def test_p32_quality_envelope_vs_f64_oracle():
+    """Pin the p32 fast tier's documented quality claims (PERF.md) on a
+    downscaled headline view: interior/escape classification stays >99.5 %
+    exact and count agreement stays within the measured envelope."""
+    w = h = 160
+    scene = Scene(width=w, height=h, iterations=1500,
+                  pos=(-0.7436447860, 0.1318252536), scale=(1e6, 1e6),
+                  inside=False, precision="p32")
+    from fractal_tpu.render import render_u8  # noqa: F811
+
+    # f64 oracle counts
+    cnt_ex = _oracle_counts_f64(scene, w, h)
+
+    ref_px = pt.choose_reference(scene, w, h)
+    orbit = pt.reference_orbit(scene, ref_px, w, h)
+    P = pt._pert_params(scene, ref_px, w, h)
+    packed = orbit.packed.copy()
+    packed[:, 4] = 0.0  # p32: glitch test disabled
+    _, _, cnt, _ = pt.perturb_whole_jnp(
+        jnp.asarray(packed), P, jnp.int32(orbit.n_steps),
+        iterations=scene.iterations, height=h, width=w)
+    cnt = np.asarray(cnt)
+
+    interior_ex = cnt_ex == scene.iterations
+    interior_p = cnt == scene.iterations
+    class_agree = (interior_ex == interior_p).mean()
+    cnt_agree = (cnt == cnt_ex).mean()
+    assert class_agree > 0.995, f"classification agreement {class_agree:.4f}"
+    assert cnt_agree > 0.80, f"count agreement {cnt_agree:.4f}"
+    # errors are boundary texture noise, not structural: escaped-pixel
+    # count deltas stay small in the typical case
+    esc = ~interior_ex & ~interior_p
+    d = np.abs(cnt[esc].astype(int) - cnt_ex[esc].astype(int))
+    assert np.percentile(d, 50) == 0
