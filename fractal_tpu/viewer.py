@@ -319,6 +319,7 @@ _PAGE = """<!doctype html>
  <label>weight <input id="wgt" type="range" min="-4" max="0" step="0.01"></label>
  <label><input id="inside" type="checkbox">inside</label>
  <label><input id="smooth" type="checkbox">smooth</label>
+ <label id="fastlab"><input id="fast" type="checkbox">fast preview</label>
  <label id="jlab" style="display:none">julia c <span id="pad"><span id="dot"></span></span></label>
 </div>
 <div id="stat"></div>
@@ -337,6 +338,10 @@ function syncControls() {
   $('exp').value = Math.log10(scene.exposure);
   $('wgt').value = Math.log10(scene.color_weight);
   $('inside').checked = scene.inside; $('smooth').checked = scene.smooth;
+  $('fast').checked = scene.precision === 'p32';
+  // p32 exists for quadratic mandelbrot/julia only
+  $('fastlab').style.display =
+      (scene.algo === 'mandelbrot' || scene.algo === 'julia') ? 'flex' : 'none';
   $('jlab').style.display = scene.algo === 'julia' ? 'flex' : 'none';
   $('dot').style.left = (96*(scene.julia_set[0]+2)/4)+'px';
   $('dot').style.top  = (96*(scene.julia_set[1]+2)/4)+'px';
@@ -374,6 +379,8 @@ $('exp').oninput = e => { scene.exposure = Math.pow(10, +e.target.value); push()
 $('wgt').oninput = e => { scene.color_weight = Math.pow(10, +e.target.value); push(); };
 $('inside').onchange = e => { scene.inside = e.target.checked; push(); };
 $('smooth').onchange = e => { scene.smooth = e.target.checked; push(); };
+$('fast').onchange = e => {  // p32 fast tier (PERF.md) for snappy panning
+  scene.precision = e.target.checked ? 'p32' : 'auto'; push(); };
 $('pad').onmousedown = e => {
   const r = $('pad').getBoundingClientRect();
   scene.julia_set = [4*(e.clientX-r.left)/96-2, 4*(e.clientY-r.top)/96-2];

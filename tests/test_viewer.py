@@ -126,3 +126,32 @@ def test_nav_endpoint(server):
     assert out["pos_str"] is not None
     out2 = _post(server, "/nav", {"zoom": 2.0})
     assert abs(out2["scale"][0] - 2 * out["scale"][0]) < 1e-9
+
+
+def _drain(server, g0, timeout=120.0):
+    """Wait until the render generation passes g0 (no render left in
+    flight — a worker busy at module teardown crashes the interpreter)."""
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        h, png = _get(server, "/image")
+        if int(h["X-Gen"]) > g0 and png[:4] == b"\x89PNG":
+            return int(h["X-Gen"])
+        time.sleep(0.5)
+    raise AssertionError("viewer render did not finish")
+
+
+def test_config_accepts_p32_fast_preview(server):
+    scene = json.loads(_get(server, "/scene")[1])
+    g0 = int(_get(server, "/image")[0]["X-Gen"])
+    scene["precision"] = "p32"
+    scene["scale"] = [1e6, 1e6]
+    scene["pos"] = [-0.7436447860, 0.1318252536]
+    _post(server, "/config", scene)
+    out = json.loads(_get(server, "/scene")[1])
+    assert out["precision"] == "p32"
+    g1 = _drain(server, g0)          # the p32 render completed
+    scene["precision"] = "auto"
+    scene["scale"] = [0.4, 0.4]
+    scene["pos"] = [-0.6, 0.0]
+    _post(server, "/config", scene)
+    _drain(server, g1)               # queue empty before module teardown
