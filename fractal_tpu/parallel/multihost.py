@@ -32,6 +32,21 @@ _initialized = False
 _status = "not-initialized"
 
 
+def _distributed_client_up() -> bool:
+    """True iff jax.distributed.initialize has already run in this process.
+
+    Deliberately avoids ``jax.process_count()``: that call initializes the
+    XLA backend as a side effect, and the distributed client can only be
+    created *before* backend initialization.
+    """
+    try:
+        from jax._src import distributed as _dist
+
+        return _dist.global_state.client is not None
+    except Exception:  # private-API drift: fall back to "not up"
+        return False
+
+
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None,
@@ -49,9 +64,12 @@ def initialize(coordinator_address: Optional[str] = None,
     happened.
     """
     global _initialized, _status
-    if _initialized or jax.process_count() > 1:
+    if _initialized or _distributed_client_up():
+        # NB: must not probe jax.process_count() here — that initializes the
+        # XLA backend, after which jax.distributed.initialize refuses to run.
         _initialized = True
-        _status = "joined" if jax.process_count() > 1 else _status
+        if _distributed_client_up():
+            _status = "joined"
         return
     explicit = coordinator_address is not None
     kw = {}
