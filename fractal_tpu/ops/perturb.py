@@ -832,7 +832,7 @@ def _pert_fallback_1d_jit(orbit, P, n_steps, xs, ys, *, iterations: int,
 
 
 def _multiref_resolve(scene, idx, width: int, height: int, max_refs: int = 4,
-                      refs_out: list = None):
+                      refs_out: list = None, row0: int = 0):
     """Re-render the flagged pixel list with successive secondary reference
     orbits (classic multi-reference perturbation: each round picks the
     medoid of the still-glitched pixels as the next reference, whose own
@@ -842,7 +842,13 @@ def _multiref_resolve(scene, idx, width: int, height: int, max_refs: int = 4,
 
     ``refs_out`` (optional list) collects the reference pixels used, so the
     caller can cache them and run later frames of the same view through the
-    device-resident fallback (``_multiref_fallback_jit``)."""
+    device-resident fallback (``_multiref_fallback_jit``).
+
+    ``idx``/``row0``: flat indices into a (rows, width) slab whose first row
+    is global row ``row0`` of the (height, width) grid — banded renders
+    (fractal_tpu.tiled) resolve their glitches in global coordinates while
+    keeping ``height`` the FULL grid height (the viewport affine's
+    normalizer)."""
     n = idx.size
     out_zr = np.zeros(n, np.float32)
     out_zi = np.zeros(n, np.float32)
@@ -852,7 +858,7 @@ def _multiref_resolve(scene, idx, width: int, height: int, max_refs: int = 4,
         if remaining.size == 0:
             break
         xs = (idx[remaining] % width).astype(np.float32)
-        ys = (idx[remaining] // width).astype(np.float32)
+        ys = (idx[remaining] // width + row0).astype(np.float32)
         mi = int(np.argmin((xs - xs.mean()) ** 2 + (ys - ys.mean()) ** 2))
         ref = (int(xs[mi]), int(ys[mi]))
         if refs_out is not None:
@@ -958,7 +964,16 @@ def _scatter_fixed(zr, zi, cnt, idx, fzr, fzi, fcnt, *, height, width):
     return zr, zi, cnt
 
 
-def _apply_fallback(scene, zr, zi, cnt, gl, width: int, height: int):
+def _apply_fallback(scene, zr, zi, cnt, gl, width: int, height: int,
+                    row0: int = 0, full_height: int = None):
+    """Resolve glitched pixels of a (height, width) slab exactly.
+
+    ``row0``/``full_height``: when the slab is a horizontal band of a
+    bigger render (fractal_tpu.tiled), the fallback's pixel coordinates
+    must be GLOBAL — ``full_height`` is the whole grid's height (the
+    viewport affine normalizer) and ``row0`` the band's first global row.
+    Defaults reproduce the whole-image case."""
+    full_height = height if full_height is None else full_height
     # One scalar device reduction first: the common case is zero glitches,
     # and pulling the full (zr, zi, cnt, gl) set to the host costs ~50 MB
     # over a tunneled TPU link (~1 s at 1080p) for nothing.
@@ -975,8 +990,8 @@ def _apply_fallback(scene, zr, zi, cnt, gl, width: int, height: int):
         xs = np.zeros(k, np.float32)
         ys = np.zeros(k, np.float32)
         xs[: idx.size] = (idx % width).astype(np.float32)
-        ys[: idx.size] = (idx // width).astype(np.float32)
-        params16 = scene_params(scene, height, width)
+        ys[: idx.size] = (idx // width + row0).astype(np.float32)
+        params16 = scene_params(scene, full_height, width)
         fzr, fzi, fcnt = _fallback_1d(
             params16, jnp.asarray(xs), jnp.asarray(ys),
             algo=scene.algo, power=scene.power, iterations=scene.iterations,
@@ -986,7 +1001,8 @@ def _apply_fallback(scene, zr, zi, cnt, gl, width: int, height: int):
         fzi = fzi.ravel()[: idx.size]
         fcnt = fcnt.ravel()[: idx.size]
     else:
-        hzr, hzi, hcnt = _multiref_resolve(scene, idx, width, height)
+        hzr, hzi, hcnt = _multiref_resolve(scene, idx, width, full_height,
+                                           row0=row0)
         fzr, fzi, fcnt = (jnp.asarray(hzr), jnp.asarray(hzi),
                           jnp.asarray(hcnt))
     zr, zi, cnt = _scatter_fixed(
@@ -1233,3 +1249,79 @@ def _color_jit(scene, zr, zi, cnt):
     from fractal_tpu.render import _color_and_downsample
 
     return _color_and_downsample(scene, zr, zi, cnt)
+
+
+# ---------------------------------------------------------------------------
+# Banded perturbation (persistence-capable; fractal_tpu.tiled)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "width", "julia",
+                                             "glitch"))
+def _perturb_band_pallas_jit(scene, planes, P, n_steps, start, *, rows: int,
+                             width: int, julia: bool, glitch: bool):
+    p_local = P.at[7].set(start.astype(jnp.float32))
+    return perturb_pallas_v2(
+        planes, p_local, n_steps, iterations=scene.iterations, height=rows,
+        width=width, julia=julia, glitch=glitch,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "width", "chunk",
+                                             "bla_offsets"))
+def _perturb_band_jnp_jit(scene, orbit, P, n_steps, start, *, rows: int,
+                          width: int, chunk: int, bla_packed=None,
+                          bla_offsets=None):
+    p_local = P.at[7].set(start.astype(jnp.float32))
+    return perturb_whole_jnp(
+        orbit, p_local, n_steps, iterations=scene.iterations, height=rows,
+        width=width, chunk=chunk, bla_packed=bla_packed,
+        bla_offsets=bla_offsets,
+    )
+
+
+def render_perturb_band(scene, start_row: int, rows: int,
+                        fast: bool = False):
+    """Colored u8 band [start_row, start_row+rows) of the supersampled grid
+    of a perturbation-depth render — the persistence-capable banding used
+    by ``fractal_tpu.tiled`` (the reference renders one-shot with no resume
+    at all, SURVEY.md §5).
+
+    All bands share the view's single reference orbit/planes/BLA caches;
+    the kernel addresses global rows through the exact (stride=1,
+    offset=start_row) row map, and each band resolves its own glitches in
+    GLOBAL pixel coordinates (``_apply_fallback`` row0/full_height), so the
+    assembled image equals the one-shot render — bit-identical when
+    multi-reference resolution is not needed, and exactly-resolved either
+    way (band-local secondary references may differ from the one-shot
+    run's, but every resolved pixel is glitch-free against *its*
+    reference)."""
+    ss = scene.supersample
+    h, w = scene.height * ss, scene.width * ss
+    on_accel = jax.default_backend() not in ("cpu",)
+    ref_px = choose_reference(scene, w, h)
+    orbit = reference_orbit(scene, ref_px, w, h)
+    P = _pert_params(scene, ref_px, w, h)
+    ns = jnp.int32(orbit.n_steps)
+    start = jnp.float32(start_row)
+    if on_accel:
+        planes = _planes_for(scene, orbit, ref_px, w, h, fast)
+        zr, zi, cnt, gl = _perturb_band_pallas_jit(
+            scene, planes, P, ns, start, rows=rows, width=w,
+            julia=scene.algo == "julia", glitch=not fast,
+        )
+    else:
+        packed = orbit.packed
+        if fast:
+            packed = packed.copy()
+            packed[:, 4] = 0.0  # gtol 0 ⇒ the glitch test never fires
+        bla = _bla_for(scene, orbit, ref_px, w, h)
+        zr, zi, cnt, gl = _perturb_band_jnp_jit(
+            scene, jnp.asarray(packed), P, ns, start, rows=rows, width=w,
+            chunk=PERT_CHUNK_CPU, bla_packed=jnp.asarray(bla.packed),
+            bla_offsets=bla.offsets,
+        )
+    if not fast:
+        zr, zi, cnt, _ = _apply_fallback(scene, zr, zi, cnt, gl, w, rows,
+                                         row0=start_row, full_height=h)
+    return _color_jit(scene, zr, zi, cnt)

@@ -9,8 +9,11 @@ render.  Completed bands are written to a checkpoint directory as they
 finish; a rerun skips them and assembles the rest.
 
 Escape-time scenes only (the fern's chaos game is a global scatter — no
-spatial decomposition to band).  Perturbation scenes fall back to the
-one-shot path (the orbit/glitch machinery is global).
+spatial decomposition to band).  Perturbation-depth scenes band too when
+persistence is requested: one reference orbit is shared across bands and
+each band resolves its glitches in global coordinates
+(ops/perturb.render_perturb_band); without ``ckpt_dir`` they keep the
+faster one-shot program (which already bands internally for early exit).
 """
 
 from __future__ import annotations
@@ -55,18 +58,11 @@ def render_tiled(scene: Scene, band_rows: int = 512,
         raise ValueError("banded rendering applies to escape-time scenes; "
                          "the fern chaos game is a global scatter")
     precision = resolve_precision(scene)
-    if precision in ("perturb", "p32"):
-        # No silent behavior change (r1 quietly ignored --bands and
-        # --checkpoint-dir here): the perturbation path already renders in
-        # device-internal bands with its own early exit, but has no
-        # persistence — a resume request must fail loudly, and a plain
-        # --bands request falls through to the one-shot render.
-        if ckpt_dir is not None:
-            raise ValueError(
-                "checkpoint/resume is not available for perturbation-depth "
-                "scenes yet (the perturbation path bands internally but "
-                "does not persist); drop --checkpoint-dir or render at "
-                "precision='ds32'")
+    perturb = precision in ("perturb", "p32")
+    if perturb and ckpt_dir is None:
+        # Without persistence the one-shot program is strictly better (it
+        # already bands internally for spatial early exit, with no per-band
+        # dispatch/fetch): --bands alone falls through to it, loudly.
         from fractal_tpu.render import render_u8
 
         if progress:
@@ -78,6 +74,16 @@ def render_tiled(scene: Scene, band_rows: int = 512,
     band_rows = max(ss, (band_rows // ss) * ss)  # keep downsample aligned
     n_bands = -(-h // band_rows)
     use_pallas = jax.default_backend() not in ("cpu",)
+
+    if perturb:
+        from fractal_tpu.ops.perturb import render_perturb_band
+
+        def band_u8(start, rows):
+            return render_perturb_band(scene, start, rows,
+                                       fast=precision == "p32")
+    else:
+        def band_u8(start, rows):
+            return _band_u8(scene, start, rows, precision, use_pallas)
 
     scene_key = repr(sorted(
         (k, str(v)) for k, v in scene.__dict__.items()
@@ -103,8 +109,7 @@ def render_tiled(scene: Scene, band_rows: int = 512,
         if b in done and band_path and os.path.exists(band_path):
             band = np.load(band_path)
         else:
-            band = np.asarray(jax.device_get(
-                _band_u8(scene, start, rows, precision, use_pallas)))
+            band = np.asarray(jax.device_get(band_u8(start, rows)))
             if ckpt_dir:
                 np.save(band_path, band)
                 done.add(b)

@@ -388,3 +388,64 @@ def test_p32_quality_envelope_vs_f64_oracle():
     esc = ~interior_ex & ~interior_p
     d = np.abs(cnt[esc].astype(int) - cnt_ex[esc].astype(int))
     assert np.percentile(d, 50) == 0
+
+
+def test_fallback_banded_row0_multiref_branch():
+    """The banded-persistence path (fractal_tpu.tiled) resolves a band's
+    glitches with GLOBAL pixel coordinates: _apply_fallback(row0,
+    full_height) on a band slab past ds32's wall must route to the multi-
+    reference resolver and reproduce the ground-truth counts."""
+    w, h = 24, 16
+    scene = Scene(width=w, height=h, iterations=300,
+                  pos=(-2.0, 0.0), scale=(1e16, 1e16))
+    bad_ref = (0, 0)
+    orbit = pt.reference_orbit(scene, bad_ref, w, h)
+    P = pt._pert_params(scene, bad_ref, w, h)
+    zr, zi, cnt, gl = pt.perturb_whole_jnp(
+        jnp.asarray(orbit.packed), P, jnp.int32(orbit.n_steps),
+        iterations=300, height=h, width=w)
+    row0, rows = 8, 8
+    sl = slice(row0, row0 + rows)
+    assert int(np.asarray(gl)[sl].sum()) > 10  # the band has glitches
+    _, _, band_cnt, _ = pt._apply_fallback(
+        scene, zr[sl], zi[sl], cnt[sl], gl[sl], w, rows,
+        row0=row0, full_height=h)
+    band_cnt = np.asarray(band_cnt)
+    # Secondary-reference CHOICE is set-dependent (band-local medoids ≠
+    # whole-image medoids), so the contract is against ground truth: the
+    # good-reference render.  Escaping pixels must match exactly; the
+    # measure-zero parabolic c=-2 pixel may differ (see
+    # test_multiref_fallback_resolves_bad_reference).
+    _, _, good, _ = pt.iterate_perturb(scene, h, w, use_pallas=False)
+    good = np.asarray(good)[sl]
+    esc = good < 300
+    np.testing.assert_array_equal(band_cnt[esc], good[esc])
+    assert (band_cnt[~esc] != good[~esc]).sum() <= 2
+
+
+def test_fallback_banded_row0_ds32_branch():
+    """Mid-depth band slab: _apply_fallback(row0, full_height) re-renders
+    glitched pixels with the exact ds32 kernel at their GLOBAL coordinates
+    — values must equal the whole-image fallback's on those rows (the
+    ds32 branch is deterministic per pixel, so bit-equality holds).
+    A hand-crafted flag mask keeps it deterministic — the fallback
+    re-renders whatever is flagged, regardless of why."""
+    w2, h2 = 32, 24
+    scene2 = Scene(width=w2, height=h2, iterations=300,
+                   pos=(-0.7436447860, 0.1318252536), scale=(1e8, 1e8))
+    ref2 = pt.choose_reference(scene2, w2, h2)
+    orbit2 = pt.reference_orbit(scene2, ref2, w2, h2)
+    P2 = pt._pert_params(scene2, ref2, w2, h2)
+    zr2, zi2, cnt2, _ = pt.perturb_whole_jnp(
+        jnp.asarray(orbit2.packed), P2, jnp.int32(orbit2.n_steps),
+        iterations=300, height=h2, width=w2)
+    rng = np.random.default_rng(3)
+    gl2 = jnp.asarray((rng.random((h2, w2)) < 0.15).astype(np.int32))
+    row0, rows = 8, 8
+    sl = slice(row0, row0 + rows)
+    assert int(np.asarray(gl2)[sl].sum()) > 10
+    _, _, fc2, _ = pt._apply_fallback(scene2, zr2, zi2, cnt2, gl2, w2, h2)
+    _, _, bc2, _ = pt._apply_fallback(
+        scene2, zr2[sl], zi2[sl], cnt2[sl], gl2[sl], w2, rows,
+        row0=row0, full_height=h2)
+    np.testing.assert_array_equal(np.asarray(bc2), np.asarray(fc2)[sl])

@@ -69,19 +69,49 @@ def test_fern_rejected():
         render_tiled(scene_defaults("fern"))
 
 
-def test_tiled_perturbation_checkpoint_errors_loudly(tmp_path):
-    """r1 silently ignored --bands/--checkpoint-dir for perturbation scenes;
-    a resume request must now fail loudly (VERDICT r1, silent degradations)."""
-    import pytest
-    from fractal_tpu.config import Scene
-    from fractal_tpu.tiled import render_tiled
+DEEP = Scene(width=48, height=36, iterations=200,
+             pos=(-0.74364388703715871, 0.13182590420531198),
+             scale=(1e15, 1e15))  # auto → perturbation (past the f64 wall)
 
-    scene = Scene(width=16, height=12, iterations=50,
-                  pos=(-0.74364388703715871, 0.13182590420531198),
-                  scale=(1e15, 1e15))
-    with pytest.raises(ValueError, match="checkpoint"):
-        render_tiled(scene, 8, str(tmp_path / "ck"))
-    # plain banded request (no persistence) still renders via the internal
-    # banding of the perturbation path
-    img = render_tiled(scene, 8, None)
-    assert img.shape == (12, 16, 3)
+
+def test_tiled_perturbation_checkpoint_matches_one_shot(tmp_path):
+    """Perturbation-depth renders band with persistence (r1 had none; r2
+    initially only errored loudly): all bands share one reference orbit,
+    glitches resolve in global coordinates, and the assembled image equals
+    the one-shot render."""
+    one = np.asarray(render_u8(DEEP))
+    d = str(tmp_path / "ck")
+    banded = render_tiled(DEEP, band_rows=16, ckpt_dir=d)
+    np.testing.assert_array_equal(banded, one)
+    m = json.load(open(os.path.join(d, "manifest.json")))
+    assert sorted(m["done"]) == [0, 1, 2]
+
+
+def test_tiled_perturbation_resume_skips_done_bands(tmp_path):
+    d = str(tmp_path / "ck")
+    full = render_tiled(DEEP, band_rows=16, ckpt_dir=d)
+    os.remove(os.path.join(d, "band_2.npy"))
+    m = json.load(open(os.path.join(d, "manifest.json")))
+    m["done"] = [0, 1]
+    json.dump(m, open(os.path.join(d, "manifest.json"), "w"))
+    poisoned = np.load(os.path.join(d, "band_0.npy"))
+    poisoned[0, 0] = [9, 8, 7]
+    np.save(os.path.join(d, "band_0.npy"), poisoned)
+    resumed = render_tiled(DEEP, band_rows=16, ckpt_dir=d)
+    assert tuple(resumed[0, 0]) == (9, 8, 7)       # loaded, not recomputed
+    np.testing.assert_array_equal(resumed[16:], full[16:])
+
+
+def test_tiled_perturbation_without_ckpt_uses_one_shot():
+    # plain banded request (no persistence) renders via the perturbation
+    # path's internal banding — same pixels, one program
+    img = render_tiled(DEEP, 8, None)
+    np.testing.assert_array_equal(img, np.asarray(render_u8(DEEP)))
+
+
+def test_tiled_p32_fast_tier_bands(tmp_path):
+    scene = DEEP.replace(precision="p32", supersample=2, height=32)
+    one = np.asarray(render_u8(scene))
+    banded = render_tiled(scene, band_rows=17,  # → 16 (ss-aligned)
+                          ckpt_dir=str(tmp_path / "ck"))
+    np.testing.assert_array_equal(banded, one)
