@@ -93,6 +93,25 @@ _ORBIT_CACHE: dict = {}
 _ORBIT_CACHE_MAX = 8
 
 
+def _cache_get(cache: dict, key):
+    """LRU get: a hit moves to the newest slot.  (Plain dict.get left the
+    caches FIFO — a banded deep render's per-band secondary-orbit inserts
+    would evict the PRIMARY orbit and every later band repaid the full
+    high-precision host walk.)"""
+    hit = cache.get(key)
+    if hit is not None:
+        cache[key] = cache.pop(key)
+    return hit
+
+
+def _cache_put(cache: dict, key, val, cap: int = _ORBIT_CACHE_MAX):
+    if key in cache:
+        cache.pop(key)
+    elif len(cache) >= cap:
+        cache.pop(next(iter(cache)))  # evict least-recently-used
+    cache[key] = val
+
+
 def _orbit_key(scene, ref_px, width, height):
     return (scene.algo, width, height, scene.iterations, scene.pos,
             scene.pos_str, scene.scale, scene.julia_set, float(scene.limit),
@@ -109,7 +128,7 @@ def reference_orbit(scene, ref_px: Tuple[int, int], width: int,
     (small LRU): interactive re-renders and bench repeats of the same view
     must not pay the high-precision host walk each frame."""
     key = _orbit_key(scene, ref_px, width, height)
-    hit = _ORBIT_CACHE.get(key)
+    hit = _cache_get(_ORBIT_CACHE, key)
     if hit is not None:
         return hit
     iters = scene.iterations
@@ -172,9 +191,7 @@ def reference_orbit(scene, ref_px: Tuple[int, int], width: int,
     packed[:n, 4] = GLITCH_TOL_SQ * (z32[1 : n + 1, 0] ** 2
                                      + z32[1 : n + 1, 1] ** 2)
     orbit = RefOrbit(packed, n_steps, (u0, v0))
-    if len(_ORBIT_CACHE) >= _ORBIT_CACHE_MAX:
-        _ORBIT_CACHE.pop(next(iter(_ORBIT_CACHE)))
-    _ORBIT_CACHE[key] = orbit
+    _cache_put(_ORBIT_CACHE, key, orbit)
     return orbit
 
 
@@ -198,7 +215,7 @@ def choose_reference(scene, width: int, height: int) -> Tuple[int, int]:
     dispatch; interactive re-renders must not pay it per frame)."""
     cu, cv = width // 2, height // 2
     key = _orbit_key(scene, (cu, cv), width, height)
-    hit = _REF_CACHE.get(key)
+    hit = _cache_get(_REF_CACHE, key)
     if hit is not None:
         return hit
     probe_orbit = reference_orbit(scene, (cu, cv), width, height)
@@ -227,9 +244,7 @@ def choose_reference(scene, width: int, height: int) -> Tuple[int, int]:
     u = int(round(float(((Arp * int(pu) + Crp) - Cr) / Ar)))
     v = int(round(float(((Aip * int(pv) + Cip) - Ci) / Ai)))
     ref = (min(max(u, 0), width - 1), min(max(v, 0), height - 1))
-    if len(_REF_CACHE) >= _ORBIT_CACHE_MAX:
-        _REF_CACHE.pop(next(iter(_REF_CACHE)))
-    _REF_CACHE[key] = ref
+    _cache_put(_REF_CACHE, key, ref)
     return ref
 
 
@@ -1108,7 +1123,7 @@ def _bla_for(scene, orbit, ref_px, width: int, height: int):
     from fractal_tpu.ops.bla import build_table
 
     key = _orbit_key(scene, ref_px, width, height)
-    hit = _BLA_CACHE.get(key)
+    hit = _cache_get(_BLA_CACHE, key)
     if hit is not None:
         return hit
     (Ar, _), (Ai, _) = _affine_fractions(width, height, exact_pos(scene), scene.scale)
@@ -1118,9 +1133,7 @@ def _bla_for(scene, orbit, ref_px, width: int, height: int):
     dc_max = math.hypot(dcr_max, dci_max)
     table = build_table(orbit.packed[:, :2], orbit.n_steps, scene.iterations,
                         dc_max, min_level=BLA_MIN_LEVEL)
-    if len(_BLA_CACHE) >= _ORBIT_CACHE_MAX:
-        _BLA_CACHE.pop(next(iter(_BLA_CACHE)))
-    _BLA_CACHE[key] = table
+    _cache_put(_BLA_CACHE, key, table)
     return table
 
 
@@ -1129,14 +1142,77 @@ _PLANES_CACHE: dict = {}
 
 def _planes_for(scene, orbit, ref_px, width, height, fast: bool):
     key = (_orbit_key(scene, ref_px, width, height), fast)
-    hit = _PLANES_CACHE.get(key)
+    hit = _cache_get(_PLANES_CACHE, key)
     if hit is not None:
         return hit
     planes = orbit_planes(orbit)
-    if len(_PLANES_CACHE) >= _ORBIT_CACHE_MAX:
-        _PLANES_CACHE.pop(next(iter(_PLANES_CACHE)))
-    _PLANES_CACHE[key] = planes
+    _cache_put(_PLANES_CACHE, key, planes)
     return planes
+
+
+_PACKED_CACHE: dict = {}
+
+
+def _packed_for(scene, orbit, ref_px, width, height, fast: bool):
+    """Cached device-resident orbit table for the jnp (CPU) path — the
+    analog of ``_planes_for``.  The fast tier stores a gtol-zeroed copy
+    (the Pauldelbrot test never fires).  Without this, a banded render
+    re-uploaded the multi-MB table once per band."""
+    key = (_orbit_key(scene, ref_px, width, height), fast)
+    hit = _cache_get(_PACKED_CACHE, key)
+    if hit is not None:
+        return hit
+    packed = orbit.packed
+    if fast:
+        packed = packed.copy()
+        packed[:, 4] = 0.0  # gtol 0 ⇒ the glitch test never fires
+    dev = jnp.asarray(packed)
+    _cache_put(_PACKED_CACHE, key, dev)
+    return dev
+
+
+_BLA_DEV_CACHE: dict = {}
+
+
+def _bla_dev_for(scene, orbit, ref_px, width, height):
+    """(device bla table, offsets) — cached jnp conversion of ``_bla_for``."""
+    key = _orbit_key(scene, ref_px, width, height)
+    hit = _cache_get(_BLA_DEV_CACHE, key)
+    if hit is not None:
+        return hit
+    table = _bla_for(scene, orbit, ref_px, width, height)
+    dev = (jnp.asarray(table.packed), table.offsets)
+    _cache_put(_BLA_DEV_CACHE, key, dev)
+    return dev
+
+
+def _perturb_setup(scene, fast: bool):
+    """Common prologue for the whole-image and banded perturbation renders:
+    validates the algo (the δ-orbit recurrence is hard-coded to z²+c),
+    resolves the reference pixel/orbit/params once (all cached per view),
+    and returns the device inputs for the active backend.
+
+    Returns (h, w, on_accel, ref_px, orbit, P, ns, dev) where ``dev`` is
+    the lane-replicated planes tuple on accelerators or the
+    (packed orbit, bla_packed, bla_offsets) triple on CPU."""
+    if scene.algo not in ("mandelbrot", "julia") or scene.power != 2:
+        raise ValueError(
+            f"perturbation supports quadratic mandelbrot/julia only, "
+            f"not {scene.algo} (power {scene.power}); use ds32/dd64")
+    ss = scene.supersample
+    h, w = scene.height * ss, scene.width * ss
+    on_accel = jax.default_backend() not in ("cpu",)
+    ref_px = choose_reference(scene, w, h)
+    orbit = reference_orbit(scene, ref_px, w, h)
+    P = _pert_params(scene, ref_px, w, h)
+    ns = jnp.int32(orbit.n_steps)
+    if on_accel:
+        dev = _planes_for(scene, orbit, ref_px, w, h, fast)
+    else:
+        packed = _packed_for(scene, orbit, ref_px, w, h, fast)
+        bla_packed, bla_offsets = _bla_dev_for(scene, orbit, ref_px, w, h)
+        dev = (packed, bla_packed, bla_offsets)
+    return h, w, on_accel, ref_px, orbit, P, ns, dev
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "julia",
@@ -1165,33 +1241,24 @@ def render_perturb(scene, fast: bool = False):
     interior-classification agreement, 88 % exact-count agreement.
     """
     ss = scene.supersample
-    h, w = scene.height * ss, scene.width * ss
-    on_accel = jax.default_backend() not in ("cpu",)
-    ref_px = choose_reference(scene, w, h)
-    orbit = reference_orbit(scene, ref_px, w, h)
-    P = _pert_params(scene, ref_px, w, h)
+    h, w, on_accel, ref_px, orbit, P, ns, dev = _perturb_setup(scene, fast)
     if on_accel:
-        planes = _planes_for(scene, orbit, ref_px, w, h, fast)
         if fast:
             img, _, _, _, _, _ = _render_perturb_pallas_jit(
-                scene, planes, P, jnp.int32(orbit.n_steps), height=h,
+                scene, dev, P, ns, height=h,
                 width=w, julia=scene.algo == "julia", glitch=False,
             )
             return img
         img, n_gl, zr, zi, cnt, gl = _render_perturb_pallas_jit(
-            scene, planes, P, jnp.int32(orbit.n_steps), height=h, width=w,
+            scene, dev, P, ns, height=h, width=w,
             julia=scene.algo == "julia", glitch=True,
         )
     else:
-        packed = orbit.packed
-        if fast:
-            packed = packed.copy()
-            packed[:, 4] = 0.0  # gtol 0 ⇒ the glitch test never fires
-        bla = _bla_for(scene, orbit, ref_px, w, h)
+        packed, bla_packed, bla_offsets = dev
         img, n_gl, zr, zi, cnt, gl = _render_perturb_jit(
-            scene, jnp.asarray(packed), P, jnp.int32(orbit.n_steps),
+            scene, packed, P, ns,
             height=h, width=w, chunk=PERT_CHUNK_CPU,
-            bla_packed=jnp.asarray(bla.packed), bla_offsets=bla.offsets,
+            bla_packed=bla_packed, bla_offsets=bla_offsets,
         )
         if fast:
             return img
@@ -1210,7 +1277,7 @@ def render_perturb(scene, fast: bool = False):
     # (medoid rounds, incl. the glitch-mask fetch); their orbits are cached
     # so every later frame resolves device-resident in one program.
     view_key = _orbit_key(scene, ("multiref",), w, h)
-    cached = _MULTIREF_CACHE.get(view_key)
+    cached = _cache_get(_MULTIREF_CACHE, view_key)
     if cached is None:
         refs: list = []
         idx = np.flatnonzero(np.asarray(gl.astype(jnp.uint8)))
@@ -1228,9 +1295,7 @@ def render_perturb(scene, fast: bool = False):
                 jnp.asarray(np.array([o.n_steps for o in orbs], np.int32)),
                 tuple(orbit_planes(o) for o in orbs) if on_accel else None,
             )
-            if len(_MULTIREF_CACHE) >= _ORBIT_CACHE_MAX:
-                _MULTIREF_CACHE.pop(next(iter(_MULTIREF_CACHE)))
-            _MULTIREF_CACHE[view_key] = cached
+            _cache_put(_MULTIREF_CACHE, view_key, cached)
         return _color_jit(scene, zr, zi, cnt)
     orbits, Ps, n_stepss, planes_list = cached
     kpad = 1 << max(7, (n - 1).bit_length())
@@ -1296,30 +1361,19 @@ def render_perturb_band(scene, start_row: int, rows: int,
     way (band-local secondary references may differ from the one-shot
     run's, but every resolved pixel is glitch-free against *its*
     reference)."""
-    ss = scene.supersample
-    h, w = scene.height * ss, scene.width * ss
-    on_accel = jax.default_backend() not in ("cpu",)
-    ref_px = choose_reference(scene, w, h)
-    orbit = reference_orbit(scene, ref_px, w, h)
-    P = _pert_params(scene, ref_px, w, h)
-    ns = jnp.int32(orbit.n_steps)
+    h, w, on_accel, ref_px, orbit, P, ns, dev = _perturb_setup(scene, fast)
     start = jnp.float32(start_row)
     if on_accel:
-        planes = _planes_for(scene, orbit, ref_px, w, h, fast)
         zr, zi, cnt, gl = _perturb_band_pallas_jit(
-            scene, planes, P, ns, start, rows=rows, width=w,
+            scene, dev, P, ns, start, rows=rows, width=w,
             julia=scene.algo == "julia", glitch=not fast,
         )
     else:
-        packed = orbit.packed
-        if fast:
-            packed = packed.copy()
-            packed[:, 4] = 0.0  # gtol 0 ⇒ the glitch test never fires
-        bla = _bla_for(scene, orbit, ref_px, w, h)
+        packed, bla_packed, bla_offsets = dev
         zr, zi, cnt, gl = _perturb_band_jnp_jit(
-            scene, jnp.asarray(packed), P, ns, start, rows=rows, width=w,
-            chunk=PERT_CHUNK_CPU, bla_packed=jnp.asarray(bla.packed),
-            bla_offsets=bla.offsets,
+            scene, packed, P, ns, start, rows=rows, width=w,
+            chunk=PERT_CHUNK_CPU, bla_packed=bla_packed,
+            bla_offsets=bla_offsets,
         )
     if not fast:
         zr, zi, cnt, _ = _apply_fallback(scene, zr, zi, cnt, gl, w, rows,

@@ -33,12 +33,19 @@ _status = "not-initialized"
 
 
 def _distributed_client_up() -> bool:
-    """True iff jax.distributed.initialize has already run in this process.
+    """True iff jax.distributed.initialize has already run in this process
+    (e.g. a pod launcher called it before us).
 
     Deliberately avoids ``jax.process_count()``: that call initializes the
     XLA backend as a side effect, and the distributed client can only be
-    created *before* backend initialization.
+    created *before* backend initialization.  Probes the public
+    ``jax.distributed.is_initialized`` first; the private global-state
+    check is only the fallback for jax versions without it.
     """
+    try:
+        return bool(jax.distributed.is_initialized())
+    except AttributeError:
+        pass
     try:
         from jax._src import distributed as _dist
 
@@ -64,11 +71,12 @@ def initialize(coordinator_address: Optional[str] = None,
     happened.
     """
     global _initialized, _status
-    if _initialized or _distributed_client_up():
-        # NB: must not probe jax.process_count() here — that initializes the
-        # XLA backend, after which jax.distributed.initialize refuses to run.
+    # NB: must not probe jax.process_count() here — that initializes the
+    # XLA backend, after which jax.distributed.initialize refuses to run.
+    up = _distributed_client_up()
+    if _initialized or up:
         _initialized = True
-        if _distributed_client_up():
+        if up:
             _status = "joined"
         return
     explicit = coordinator_address is not None

@@ -74,11 +74,36 @@ DEEP = Scene(width=48, height=36, iterations=200,
              scale=(1e15, 1e15))  # auto → perturbation (past the f64 wall)
 
 
+def _assert_no_glitches(scene):
+    """Bit-equality between banded and one-shot perturbation renders is the
+    documented contract only for non-glitched pixels (multi-reference
+    SECONDARY choice is glitch-set-local); these tests use a glitch-free
+    view so full bit-equality is valid — pin that precondition so a future
+    budget/tolerance tweak fails here with a clear message instead of a
+    mysterious pixel diff."""
+    import jax.numpy as jnp
+
+    from fractal_tpu.ops import perturb as pt
+
+    ss = scene.supersample
+    h, w = scene.height * ss, scene.width * ss
+    ref = pt.choose_reference(scene, w, h)
+    orbit = pt.reference_orbit(scene, ref, w, h)
+    P = pt._pert_params(scene, ref, w, h)
+    _, _, _, gl = pt.perturb_whole_jnp(
+        jnp.asarray(orbit.packed), P, jnp.int32(orbit.n_steps),
+        iterations=scene.iterations, height=h, width=w)
+    assert int(np.asarray(gl).sum()) == 0, (
+        "view now produces glitches: restrict the banded-vs-one-shot "
+        "equality to non-glitched pixels (see render_perturb_band docstring)")
+
+
 def test_tiled_perturbation_checkpoint_matches_one_shot(tmp_path):
     """Perturbation-depth renders band with persistence (r1 had none; r2
     initially only errored loudly): all bands share one reference orbit,
     glitches resolve in global coordinates, and the assembled image equals
     the one-shot render."""
+    _assert_no_glitches(DEEP)
     one = np.asarray(render_u8(DEEP))
     d = str(tmp_path / "ck")
     banded = render_tiled(DEEP, band_rows=16, ckpt_dir=d)
@@ -115,3 +140,15 @@ def test_tiled_p32_fast_tier_bands(tmp_path):
     banded = render_tiled(scene, band_rows=17,  # → 16 (ss-aligned)
                           ckpt_dir=str(tmp_path / "ck"))
     np.testing.assert_array_equal(banded, one)
+
+
+def test_tiled_perturbation_rejects_nonquadratic(tmp_path):
+    """An explicit perturbation precision on an unsupported algo must raise
+    on the banded path exactly like the one-shot path (the δ-orbit math is
+    hard-coded to z²+c) — not silently render garbage."""
+    scene = Scene(algo="burningship", width=16, height=12, iterations=50,
+                  pos=(-0.45, -0.5), scale=(0.8, 0.8), precision="p32")
+    with pytest.raises(ValueError, match="quadratic"):
+        render_tiled(scene, 8, str(tmp_path / "ck"))
+    with pytest.raises(ValueError, match="quadratic"):
+        render_tiled(scene, 8, None)  # one-shot fall-through path too
