@@ -11,6 +11,16 @@ from fractal_tpu.utils.timing import Phases
 
 
 def main(argv=None) -> int:
+    try:
+        return _main(argv)
+    except ValueError as e:
+        # Render-time configuration errors (e.g. perturbation precision on a
+        # non-quadratic algo, stale checkpoint manifest) exit like argparse
+        # errors — a clean one-line message, not a traceback.
+        sys.exit(f"error: {e}")
+
+
+def _main(argv=None) -> int:
     options = parse_options(argv)
 
     from fractal_tpu.utils.compile_cache import enable as _enable_cache

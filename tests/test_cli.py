@@ -146,6 +146,18 @@ def test_end_to_end_main_writes_png(tmp_path):
     assert im.size == (32, 24)
 
 
+def test_main_render_error_exits_cleanly():
+    """Render-time ValueErrors surface as a one-line `error: ...` exit (the
+    reference binary's failure style), not a traceback."""
+    import pytest
+    from fractal_tpu.__main__ import main
+
+    with pytest.raises(SystemExit) as ei:
+        main("16 12 --precision p32 -a burningship --format png "
+             "-o /tmp/never".split())
+    assert str(ei.value).startswith("error: perturbation supports quadratic")
+
+
 def test_perturb_rejects_nonquadratic():
     import pytest
     from fractal_tpu.config import Scene
