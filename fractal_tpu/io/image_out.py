@@ -6,19 +6,17 @@ appends ".avif" to the output name (src/lib.rs:192-195) — even if it already
 ends in .avif.  Both behaviors are replicated (the suffix rule only for the
 avif format; the PNG extension follows the same always-append rule).
 
-AVIF parity notes (vs ravif's Config, src/lib.rs:326-333): the encode runs
-through Pillow's native C `_avif` extension over libavif+libaom — a native
-AV1 encoder in-process, the same architecture as the reference's
-ravif→rav1e (this image ships no libavif/libaom *headers*, so a bespoke
-C++ shim would need fragile ABI-struct vendoring for zero functional gain).
-The settings are mapped one-for-one:
-  * quality 100, speed 8 — identical knobs in libavif;
-  * color space: ravif's `ColorSpace::YCbCr` with no chroma subsampling ==
-    libavif lossy YCbCr (matrix BT.601) at ``subsampling="4:4:4"``,
-    ``range="full"`` — near-lossless (YCbCr round-trip error ≤ ~2/255,
-    covered by the decode-roundtrip test in tests/test_native_io.py);
-  * threads 0 (all cores) — libavif's default max-threads behavior;
-  * alpha_quality/premultiplied alpha — no alpha channel exists here.
+AVIF parity notes (vs ravif's Config, src/lib.rs:326-333): the primary
+encode path is our native C++ shim (native/fastimg.cpp) over the system
+libheif→libaom AV1 encoder — the same native-encoder architecture as the
+reference's ravif→rav1e.  Settings map one-for-one: quality 100 / speed 8
+(aom cpu-used); color space: libheif converts RGB→YCbCr for AV1 exactly as
+ravif's `ColorSpace::YCbCr`, chroma 4:4:4 (no subsampling) requested to
+match ravif; threads 0 = encoder default all-core behavior.  Near-lossless:
+YCbCr round-trip error ≤ ~2/255, covered by the decode-roundtrip tests in
+tests/test_native_io.py.  Fallback when the shim or libheif is missing:
+Pillow's native `_avif` C extension over libavif+libaom with the same
+knobs (``subsampling="4:4:4"``, ``range="full"``).
 """
 
 from __future__ import annotations
@@ -58,6 +56,16 @@ def encode_image(img: np.ndarray, path: str) -> None:
             return
         _to_pil(img).save(path, format="PNG")
     elif lower.endswith(".avif"):
+        from fractal_tpu.io import native
+
+        if native.avif_available():
+            img = np.ascontiguousarray(img)
+            if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+                raise ValueError(
+                    f"expected (H, W, 3) uint8, got {img.shape} {img.dtype}")
+            native.write_avif(img, path, quality=AVIF_QUALITY,
+                              speed=AVIF_SPEED)
+            return
         _to_pil(img).save(
             path, format="AVIF", quality=AVIF_QUALITY, speed=AVIF_SPEED,
             subsampling=AVIF_SUBSAMPLING, range=AVIF_RANGE,

@@ -1,9 +1,11 @@
 """ctypes bindings to the native C++ encoder library (native/fastimg.cpp).
 
 The reference's encoder is a native component (ravif/rav1e, src/lib.rs:12-20);
-ours is a C++ shared library wrapping libpng with multi-row zlib pipelining.
-Falls back cleanly (``available() == False``) when the library has not been
-built — Pillow then handles encoding.
+ours is a C++ shared library providing a libpng PNG writer and an AVIF
+encoder over dlopen()ed system libheif→libaom (the reference's AV1 encode,
+src/lib.rs:326-333).  Falls back cleanly (``available() == False`` /
+``avif_available() == False``) when the library or libheif is missing —
+Pillow then handles encoding.
 """
 
 from __future__ import annotations
@@ -62,14 +64,32 @@ def _load():
             ctypes.c_int,
         ]
         lib.fastimg_write_png.restype = ctypes.c_int
+        lib.fastimg_avif_available.argtypes = []
+        lib.fastimg_avif_available.restype = ctypes.c_int
+        lib.fastimg_write_avif.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.fastimg_write_avif.restype = ctypes.c_int
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: a stale pre-AVIF libfastimg.so — rebuild by
+        # deleting it; until then treat native as unavailable.
         _LIB = None
     return _LIB
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def avif_available() -> bool:
+    lib = _load()
+    return lib is not None and bool(lib.fastimg_avif_available())
 
 
 def write_png(img: np.ndarray, path: str, compression: int = 6) -> None:
@@ -88,3 +108,25 @@ def write_png(img: np.ndarray, path: str, compression: int = 6) -> None:
     )
     if rc != 0:
         raise RuntimeError(f"native PNG encode failed (rc={rc})")
+
+
+def write_avif(img: np.ndarray, path: str, quality: int = 100,
+               speed: int = 8) -> None:
+    """AVIF encode via system libheif→libaom (reference ravif settings:
+    quality 100, speed 8, YCbCr — src/lib.rs:326-333)."""
+    lib = _load()
+    if lib is None or not lib.fastimg_avif_available():
+        raise RuntimeError("native AVIF encoder not available")
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    assert c == 3
+    rc = lib.fastimg_write_avif(
+        path.encode(),
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w,
+        h,
+        quality,
+        speed,
+    )
+    if rc != 0:
+        raise RuntimeError(f"native AVIF encode failed (rc={rc})")

@@ -82,3 +82,43 @@ def test_avif_decode_roundtrip_near_lossless(tmp_path):
     smooth = np.ones((h, w), bool); smooth[14:34, 14:34] = False
     assert err[smooth].max() <= 4, f"smooth-region max err {err[smooth].max()}"
     assert np.percentile(err, 99) <= 8
+
+
+@pytest.mark.skipif(not native.avif_available(),
+                    reason="libheif AV1 encoder not available")
+def test_native_avif_direct_roundtrip(tmp_path):
+    """The C++ libheif shim itself (not the Pillow fallback): encode with
+    the reference's quality/speed and decode back near-losslessly."""
+    from PIL import Image
+
+    h, w = 48, 72
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(xx * 255 / w), (255 - yy * 255 / h),
+                    (xx + yy) % 256], axis=-1).astype(np.uint8)
+    p = str(tmp_path / "n.avif")
+    native.write_avif(img, p, quality=100, speed=8)
+    back = np.asarray(Image.open(p).convert("RGB"))
+    assert back.shape == img.shape
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 4
+
+
+@pytest.mark.skipif(not native.avif_available(),
+                    reason="libheif AV1 encoder not available")
+def test_encode_image_avif_routes_native(tmp_path, monkeypatch):
+    """encode_image prefers the native shim for .avif (Pillow is the
+    fallback only) — pin the dispatch so a refactor can't silently
+    demote the native path."""
+    from fractal_tpu.io import image_out
+
+    calls = []
+    real = native.write_avif
+
+    def spy(img, path, quality=100, speed=8):
+        calls.append(path)
+        real(img, path, quality=quality, speed=speed)
+
+    monkeypatch.setattr(native, "write_avif", spy)
+    img = _rand_img(16, 24, seed=4)
+    p = str(tmp_path / "z.avif")
+    image_out.encode_image(img, p)
+    assert calls == [p]
