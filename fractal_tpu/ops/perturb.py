@@ -276,11 +276,12 @@ def _perturb_tile(xx, yy, P, n_steps, iterations: int,
     dcr = (xx - u0) * Ar
     dci = (yy - v0) * Ai
 
-    block0 = load_block(jnp.int32(0))
-    zfr0 = block0[0, 0] + dcr  # full z₀ = Z₀ + δz₀,  δz₀ = δc
-    zfi0 = block0[0, 1] + dci
-    dzr0, dzi0 = dcr, dci
-    cnt0 = jnp.zeros(xx.shape, jnp.int32)
+    # Series-approximation start (trivial series ⇒ n0 = 0, δz₀ = δc exactly)
+    dzr0, dzi0, n0 = _series_init(P, dcr, dci)
+    block0 = load_block(n0)
+    zfr0 = block0[0, 0] + dzr0  # full z_{n0} = Z_{n0} + δz_{n0}
+    zfi0 = block0[0, 1] + dzi0
+    cnt0 = jnp.zeros(xx.shape, jnp.int32) + n0
     gl0 = jnp.zeros(xx.shape, jnp.int32)
 
     n_chunks = _cdiv(max(iterations, 1), chunk)
@@ -335,7 +336,7 @@ def _perturb_tile(xx, yy, P, n_steps, iterations: int,
 
     state0 = (dzr0, dzi0, zfr0, zfi0, cnt0, gl0)
     (dzr, dzi, zfr, zfi, cnt, gl), _ = jax.lax.while_loop(
-        chunk_cond, chunk_body, (state0, jnp.int32(0))
+        chunk_cond, chunk_body, (state0, n0 // jnp.int32(chunk))
     )
     # Pixels that outlived the reference orbit (cnt == n_steps < iterations,
     # unescaped) have no more Z rows — they are glitches for the fallback.
@@ -364,11 +365,12 @@ def _perturb_tile_bla(xx, yy, P, n_steps, iterations: int, chunk: int,
     dcr = (xx - u0) * Ar
     dci = (yy - v0) * Ai
 
-    block0 = load_block(jnp.int32(0))
-    zfr0 = block0[0, 0] + dcr
-    zfi0 = block0[0, 1] + dci
-    dzr0, dzi0 = dcr, dci
-    cnt0 = jnp.zeros(xx.shape, jnp.int32)
+    # Series-approximation start (trivial series ⇒ n0 = 0, δz₀ = δc exactly)
+    dzr0, dzi0, n0 = _series_init(P, dcr, dci)
+    block0 = load_block(n0)
+    zfr0 = block0[0, 0] + dzr0
+    zfi0 = block0[0, 1] + dzi0
+    cnt0 = jnp.zeros(xx.shape, jnp.int32) + n0
     gl0 = jnp.zeros(xx.shape, jnp.int32)
 
     def _active(zfr, zfi, cnt, gl, n):
@@ -453,7 +455,7 @@ def _perturb_tile_bla(xx, yy, P, n_steps, iterations: int, chunk: int,
 
     state0 = (dzr0, dzi0, zfr0, zfi0, cnt0, gl0)
     (dzr, dzi, zfr, zfi, cnt, gl), _ = jax.lax.while_loop(
-        macro_cond, macro_body, (state0, jnp.int32(0))
+        macro_cond, macro_body, (state0, n0)
     )
     ran_out = (
         (zfr * zfr + zfi * zfi <= limit_sq)
@@ -464,14 +466,126 @@ def _perturb_tile_bla(xx, yy, P, n_steps, iterations: int, chunk: int,
     return zfr, zfi, cnt, gl
 
 
-def _pert_params(scene, ref_px, width: int, height: int):
+# --- Series approximation (SA): skip the shared iteration prefix ----------
+#
+# δz_n is a polynomial in δc while the orbit stays coherent:
+#     δz_n ≈ A_n·δc + B_n·δc² + C_n·δc³         (K. I. Martin's cubic SA)
+# with recurrences A' = 2Z·A + 1, B' = 2Z·B + A², C' = 2Z·C + 2AB.
+# All pixels can therefore START at n_skip — one polynomial evaluation
+# replaces n_skip iterations of the δ-orbit — where n_skip is the last
+# step at which the next-order term D (the truncation-error proxy) is
+# below SERIES_TOL of the kept terms for the WORST pixel (|δc| = dc_max).
+#
+# Scaling: the walk carries A'·dc_max, B'·dc_max², C'·dc_max³ (the actual
+# δz-contributions at the view corner), so every quantity stays O(|δz|)
+# and f32-representable at any zoom depth; the device evaluates the
+# polynomial in u = δc/dc_max, |u| ≤ ~1.
+#
+# Safety: SERIES_TOL = 1e-7 sits at the f32 rounding floor of the δ-orbit
+# the skip feeds (each subsequent f32 step injects ~6e-8 relative noise),
+# so the skip is quality-neutral for both the exact tier (glitch detection
+# resumes at n_skip; during the skip the f64 series tracks δz *more*
+# accurately than the f32 recurrence it replaces) and the p32 tier.  The
+# criterion also implies no pixel can escape before n_skip: every |δz| is
+# bounded by |A'|+|B'|+|C'| ≪ escape radius while the series is valid.
+
+SERIES_TOL = 1e-7
+SERIES_MIN_SKIP = 2 * PERT_CHUNK  # below this the plumbing isn't worth it
+
+
+def series_skip(z, n_limit: int, dc_max: float, julia: bool,
+                tol: float = SERIES_TOL, align: int = 1):
+    """Walk the scaled cubic-SA recurrences along reference orbit ``z``
+    ((rows, ≥2) [Zr, Zi]); return (n_skip, (A', B', C')) where the scaled
+    complex coefficients give δz_{n_skip} = A'u + B'u² + C'u³,
+    u = δc/dc_max.  ``align`` restricts candidate skips to multiples of
+    the device chunk — the returned coefficients belong to EXACTLY the
+    returned step (a skip aligned after the fact would pair coefficients
+    with the wrong orbit row)."""
+    A, B, C, D = complex(dc_max), 0j, 0j, 0j
+    best, best_abc = 0, (A, B, C)
+    step_c = 0.0 if julia else dc_max  # julia: δc enters via δz₀ only
+    for n in range(n_limit):
+        twoZ = 2.0 * complex(z[n, 0], z[n, 1])
+        D = twoZ * D + 2.0 * A * C + B * B
+        C = twoZ * C + 2.0 * A * B
+        B = twoZ * B + A * A
+        A = twoZ * A + step_c
+        m = max(abs(A), abs(B), abs(C))
+        if not math.isfinite(m) or abs(D) > tol * max(m, 1e-300):
+            break
+        if (n + 1) % align == 0:
+            best, best_abc = n + 1, (A, B, C)
+    return best, best_abc
+
+
+_SERIES_CACHE: dict = {}
+
+
+def _series_for(scene, orbit, ref_px, width, height, dc_max):
+    key = _orbit_key(scene, ref_px, width, height)
+    hit = _cache_get(_SERIES_CACHE, key)
+    if hit is not None:
+        return hit
+    # the last term keeps the chunked loaders' clamped block reads exact
+    # (load_block starts at min(n, rows - chunk))
+    n_limit = min(orbit.n_steps, scene.iterations,
+                  orbit.packed.shape[0] - PERT_CHUNK)
+    n, abc = series_skip(orbit.packed[:, :2], max(n_limit, 0), dc_max,
+                         scene.algo == "julia", align=PERT_CHUNK)
+    if n < SERIES_MIN_SKIP:
+        n, abc = 0, None
+    val = (n, abc)
+    _cache_put(_SERIES_CACHE, key, val)
+    return val
+
+
+def _pert_params(scene, ref_px, width: int, height: int, orbit=None):
+    """16-slot f32 parameter vector for the δ-orbit kernels.
+
+    [0:8]  — Ar, Ai, u0, v0, limit², dc_gain, row_stride, row_offset
+             (dc_gain 0 for julia; stride/offset map device-local rows to
+             global rows for interleaved sharding, identity (1, 0)).
+    [8:16] — series-approximation slots: n_skip, A'r, A'i, B'r, B'i,
+             C'r, C'i, 1/dc_max.  With no orbit (or no worthwhile skip)
+             they hold the TRIVIAL series (0, 1,0, 0,0, 0,0, 1): the
+             device polynomial then evaluates to exactly δz₀ = δc
+             (bit-identical to the pre-SA init), so every consumer runs
+             one uniform init path.
+    """
     (Ar, Cr), (Ai, Ci) = _affine_fractions(width, height, exact_pos(scene), scene.scale)
     dc_gain = 0.0 if scene.algo == "julia" else 1.0
+    sa = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]
+    if orbit is not None:
+        dcr_max = max(ref_px[0], width - 1 - ref_px[0]) * abs(float(Ar))
+        dci_max = max(ref_px[1], height - 1 - ref_px[1]) * abs(float(Ai))
+        dcm = math.hypot(dcr_max, dci_max)
+        if dcm > 0.0:
+            n_skip, abc = _series_for(scene, orbit, ref_px, width, height,
+                                      dcm)
+            if n_skip > 0:
+                A, B, C = abc
+                sa = [float(n_skip), A.real, A.imag, B.real, B.imag,
+                      C.real, C.imag, 1.0 / dcm]
     return jnp.asarray(
         [float(Ar), float(Ai), float(ref_px[0]), float(ref_px[1]),
-         float(scene.limit) ** 2, dc_gain, 1.0, 0.0],
+         float(scene.limit) ** 2, dc_gain, 1.0, 0.0] + sa,
         jnp.float32,
     )
+
+
+def _series_init(P, dcr, dci):
+    """Per-pixel series start: (δz_r, δz_i, n_skip) from P's SA slots.
+    Complex Horner: δz = ((C'u + B')u + A')·u, u = δc·P[15]."""
+    ur = dcr * P[15]
+    ui = dci * P[15]
+    tr = P[13] * ur - P[14] * ui + P[11]
+    ti = P[13] * ui + P[14] * ur + P[12]
+    sr = tr * ur - ti * ui + P[9]
+    si = tr * ui + ti * ur + P[10]
+    dzr = sr * ur - si * ui
+    dzi = sr * ui + si * ur
+    return dzr, dzi, P[8].astype(jnp.int32)
 
 
 BLA_MIN_LEVEL = 6  # smallest stored skip = 64 = PERT_CHUNK, so skips always
@@ -565,7 +679,7 @@ def _build_pert_kernel_v2(iterations: int, tile_h: int, tile_w: int,
         else:
             zr_ref, zi_ref, cnt_ref, gl_ref = rest
         f32 = jnp.float32
-        P = [p_ref[i] for i in range(8)]
+        P = [p_ref[i] for i in range(16)]
         n_steps = ns_ref[0]
         limit_sq = P[4]
         if points:
@@ -589,10 +703,21 @@ def _build_pert_kernel_v2(iterations: int, tile_h: int, tile_w: int,
             dcr_step = (dcr, dci)
         rows = zr2_ref.shape[0]
 
-        zfr0 = 0.5 * zr2_ref[0:1, :] + dcr
-        zfi0 = 0.5 * zi2_ref[0:1, :] + dci
+        # Series-approximation start (see _pert_params: the trivial series
+        # makes this δz₀ = δc bit-exactly, so one init path serves all).
+        n0 = P[8].astype(jnp.int32)
+        ur = dcr * P[15]
+        ui = dci * P[15]
+        t1r = P[13] * ur - P[14] * ui + P[11]
+        t1i = P[13] * ui + P[14] * ur + P[12]
+        t2r = t1r * ur - t1i * ui + P[9]
+        t2i = t1r * ui + t1i * ur + P[10]
+        dz0r = t2r * ur - t2i * ui
+        dz0i = t2r * ui + t2i * ur
+        zfr0 = 0.5 * zr2_ref[pl.ds(n0, 1), :] + dz0r
+        zfi0 = 0.5 * zi2_ref[pl.ds(n0, 1), :] + dz0i
         d0 = zfr0 * zfr0 + zfi0 * zfi0
-        cnt0 = jnp.zeros(dcr.shape, jnp.int32)
+        cnt0 = jnp.zeros(dcr.shape, jnp.int32) + n0
 
         inf = jnp.float32(jnp.inf)
 
@@ -641,7 +766,7 @@ def _build_pert_kernel_v2(iterations: int, tile_h: int, tile_w: int,
 
         (dzr, dzi, zfr, zfi, d, cnt), _ = jax.lax.while_loop(
             chunk_cond, chunk_body,
-            ((dcr, dci, zfr0, zfi0, d0, cnt0), jnp.int32(0)),
+            ((dz0r, dz0i, zfr0, zfi0, d0, cnt0), n0 // jnp.int32(chunk)),
         )
         # Epilogue: un-count the terminal (escape/glitch) step; flag
         # glitches (poisoned d) and orbit exhaustion for the fallback.
@@ -753,7 +878,7 @@ def _build_pert_kernel(iterations: int, tile_h: int, tile_w: int, chunk: int):
         x0 = tj * tile_w
         yy = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) + y0).astype(f32)
         xx = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) + x0).astype(f32)
-        P = [p_ref[i] for i in range(8)]
+        P = [p_ref[i] for i in range(16)]
         yy = yy * P[6] + P[7]  # global-row map (sharded stripes)
         n_steps = ns_ref[0]
         rows = orbit_ref.shape[0]
@@ -903,6 +1028,26 @@ def _multiref_resolve(scene, idx, width: int, height: int, max_refs: int = 4,
 
 _MULTIREF_CACHE: dict = {}
 
+# Dense per-view glitch-resolution cache (see render_perturb): value is
+# () for a measured-glitch-free view, else (mask, zrF, ziF, cntF) device
+# arrays.  Dense f32 triples are ~48 MB at 9 Mpix, so the cap is small —
+# it only needs to hold the interactively-current view(s).
+_FIX_CACHE: dict = {}
+_FIX_CACHE_MAX = 2
+
+
+@jax.jit
+def _fix_color_jit(scene, zr, zi, cnt, mask, zrF, ziF, cntF):
+    """Fused warm-frame glitch fix + color: replace the glitched pixels
+    with their cached resolved values, then color — one elementwise pass,
+    no compaction/scatter (see render_perturb's fix-cache comment)."""
+    from fractal_tpu.render import _color_and_downsample
+
+    zr = jnp.where(mask, zrF, zr)
+    zi = jnp.where(mask, ziF, zi)
+    cnt = jnp.where(mask, cntF, cnt)
+    return _color_and_downsample(scene, zr, zi, cnt)
+
 
 @functools.partial(jax.jit, static_argnames=("iterations", "kpad", "n_refs",
                                              "height", "width", "chunk",
@@ -955,7 +1100,7 @@ def _multiref_fallback_color_jit(scene, zr, zi, cnt, gl, orbits, Ps, n_stepss,
 
             rzr, rzi, rcnt, rgl = _perturb_tile(
                 xs.reshape(1, kpad), ys.reshape(1, kpad),
-                [Ps[r, i] for i in range(8)],
+                [Ps[r, i] for i in range(16)],
                 n_stepss[r], iterations, chunk, load_block)
         take = pending & ((rgl.ravel() == 0) | (r == n_refs - 1))
         fzr = jnp.where(take, rzr.ravel(), fzr)
@@ -1036,7 +1181,7 @@ def iterate_perturb(scene, height: int, width: int, use_pallas: bool):
     """(zr, zi, cnt) for a scene via perturbation + exact glitch fallback."""
     ref_px = choose_reference(scene, width, height)
     orbit = reference_orbit(scene, ref_px, width, height)
-    P = _pert_params(scene, ref_px, width, height)
+    P = _pert_params(scene, ref_px, width, height, orbit=orbit)
     # use_pallas here means "on an accelerator": the XLA twin is the faster
     # program on TPU too (see perturb_whole_jnp docstring) — it only decides
     # the chunk depth.
@@ -1204,7 +1349,7 @@ def _perturb_setup(scene, fast: bool):
     on_accel = jax.default_backend() not in ("cpu",)
     ref_px = choose_reference(scene, w, h)
     orbit = reference_orbit(scene, ref_px, w, h)
-    P = _pert_params(scene, ref_px, w, h)
+    P = _pert_params(scene, ref_px, w, h, orbit=orbit)
     ns = jnp.int32(orbit.n_steps)
     if on_accel:
         dev = _planes_for(scene, orbit, ref_px, w, h, fast)
@@ -1262,8 +1407,23 @@ def render_perturb(scene, fast: bool = False):
         )
         if fast:
             return img
+    # Warm-frame fix cache: the resolved values of a view's glitched pixels
+    # are a deterministic function of the view (like the orbit/BLA/SA
+    # caches), so the cold frame's resolution is cached DENSE and every
+    # later frame replaces its glitched pixels with one fused mask-select +
+    # color pass.  This removes the warm resolve's jnp.nonzero over the
+    # full image (measured 112 ms at 9 Mpix on v5e), its scatters (46 ms
+    # each), the per-reference δ-orbit re-runs, and the n_gl host sync.
+    fkey = _orbit_key(scene, ("fix",) + tuple(ref_px), w, h)
+    fixed = _cache_get(_FIX_CACHE, fkey)
+    if fixed is not None:
+        if fixed == ():  # view measured glitch-free on the cold frame
+            return img
+        mask, zrF, ziF, cntF = fixed
+        return _fix_color_jit(scene, zr, zi, cnt, mask, zrF, ziF, cntF)
     n = int(n_gl)
     if n == 0:
+        _cache_put(_FIX_CACHE, fkey, (), cap=_FIX_CACHE_MAX)
         return img
     spacing = scene.pixel_spacing / ss
     if spacing > DS32_FALLBACK_SPACING_LIMIT:
@@ -1287,6 +1447,8 @@ def render_perturb(scene, fast: bool = False):
             jnp.asarray(hzr), jnp.asarray(hzi), jnp.asarray(hcnt),
             height=h, width=w,
         )
+        _cache_put(_FIX_CACHE, fkey, (gl != 0, zr, zi, cnt),
+                   cap=_FIX_CACHE_MAX)
         if refs:
             orbs = [reference_orbit(scene, r, w, h) for r in refs]
             cached = (

@@ -449,3 +449,109 @@ def test_fallback_banded_row0_ds32_branch():
         scene2, zr2[sl], zi2[sl], cnt2[sl], gl2[sl], w2, rows,
         row0=row0, full_height=h2)
     np.testing.assert_array_equal(np.asarray(bc2), np.asarray(fc2)[sl])
+
+
+# --- Series approximation (SA prefix skip) ---------------------------------
+
+
+def test_series_skip_matches_brute_force_delta():
+    """The scaled cubic series at n_skip must reproduce the f64 δ-orbit
+    recurrence within SERIES_TOL for every view pixel (worst case |u|=1).
+    Checks corner + interior pixels against a brute-force f64 walk."""
+    import math
+
+    from fractal_tpu.config import exact_pos
+
+    sc = Scene(width=96, height=64, iterations=4000,
+               pos=(-0.74364388703715871, 0.13182590420531198),
+               scale=(1e14, 1e14), inside=False)
+    h, w = sc.height, sc.width
+    ref = pt.choose_reference(sc, w, h)
+    orbit = pt.reference_orbit(sc, ref, w, h)
+    (Ar, _), (Ai, _) = pt._affine_fractions(w, h, exact_pos(sc), sc.scale)
+    Ar, Ai = float(Ar), float(Ai)
+    dcm = math.hypot(max(ref[0], w - 1 - ref[0]) * abs(Ar),
+                     max(ref[1], h - 1 - ref[1]) * abs(Ai))
+    n_skip, (A, B, C) = pt.series_skip(orbit.packed[:, :2], 4000, dcm,
+                                       False, align=pt.PERT_CHUNK)
+    assert n_skip >= pt.SERIES_MIN_SKIP  # the deep view must admit a skip
+    assert n_skip % pt.PERT_CHUNK == 0
+    Z = orbit.packed[:, :2].astype(np.float64)
+    for px, py in [(0, 0), (w - 1, h - 1), (w - 1, 0), (w // 3, h // 2)]:
+        dc = complex((px - ref[0]) * Ar, (py - ref[1]) * Ai)
+        dz = dc
+        for n in range(n_skip):
+            dz = (2 * complex(Z[n, 0], Z[n, 1]) + dz) * dz + dc
+        u = dc / dcm
+        dz_sa = ((C * u + B) * u + A) * u
+        assert abs(dz - dz_sa) <= 4 * pt.SERIES_TOL * max(
+            abs(A), abs(B), abs(C)), (px, py, dz, dz_sa)
+
+
+def test_series_skip_render_bit_identical():
+    """SA-on vs SA-off on a deep view: counts, glitch flags, and the
+    COLORED u8 image are bit-identical (measured contract).  The raw final
+    z of escaped pixels may carry a ≤~2e-6 deviation (the series start is
+    within one f32 ulp of the iterated δz; escaped trajectories keep that
+    sub-noise offset) — invisible after the smooth-color quantization."""
+    sc = Scene(width=192, height=128, iterations=5000,
+               pos=(-0.74364388703715871, 0.13182590420531198),
+               scale=(1e15, 1e15), inside=False)
+    h, w = sc.height, sc.width
+    ref = pt.choose_reference(sc, w, h)
+    orbit = pt.reference_orbit(sc, ref, w, h)
+    P_on = pt._pert_params(sc, ref, w, h, orbit=orbit)
+    assert float(P_on[8]) >= pt.SERIES_MIN_SKIP  # SA actually fires
+    P_off = pt._pert_params(sc, ref, w, h)       # trivial series
+    packed = jnp.asarray(orbit.packed)
+    ns = jnp.int32(orbit.n_steps)
+    on = pt.perturb_whole_jnp(packed, P_on, ns, iterations=sc.iterations,
+                              height=h, width=w)
+    off = pt.perturb_whole_jnp(packed, P_off, ns, iterations=sc.iterations,
+                               height=h, width=w)
+    np.testing.assert_array_equal(np.asarray(on[2]), np.asarray(off[2]))
+    np.testing.assert_array_equal(np.asarray(on[3]), np.asarray(off[3]))
+    np.testing.assert_allclose(np.asarray(on[0]), np.asarray(off[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(on[1]), np.asarray(off[1]),
+                               atol=1e-5)
+    img_on = np.asarray(pt._color_jit(sc, on[0], on[1], on[2]))
+    img_off = np.asarray(pt._color_jit(sc, off[0], off[1], off[2]))
+    np.testing.assert_array_equal(img_on, img_off)
+
+
+def test_trivial_series_init_is_exact_dc():
+    """The trivial SA slots (no orbit) must make _series_init return δz₀ =
+    δc BIT-exactly — the uniform init path cannot perturb shallow renders."""
+    sc = Scene(width=32, height=24, iterations=100,
+               pos=(-0.5, 0.1), scale=(10.0, 10.0))
+    ref = (16, 12)
+    P = pt._pert_params(sc, ref, 32, 24)
+    xx = jnp.arange(32, dtype=jnp.float32)[None, :] * jnp.ones((24, 1), jnp.float32)
+    yy = jnp.arange(24, dtype=jnp.float32)[:, None] * jnp.ones((1, 32), jnp.float32)
+    dcr = (xx - P[2]) * P[0]
+    dci = (yy - P[3]) * P[1]
+    dzr, dzi, n0 = pt._series_init(P, dcr, dci)
+    assert int(n0) == 0
+    np.testing.assert_array_equal(np.asarray(dzr), np.asarray(dcr))
+    np.testing.assert_array_equal(np.asarray(dzi), np.asarray(dci))
+
+
+def test_fix_cache_warm_frames_match_cold(monkeypatch):
+    """Warm frames of a glitchy deep view resolve through the dense fix
+    cache (fused mask-select + color) and must reproduce the cold frame's
+    image exactly — and the cache must actually be exercised."""
+    w, h = 24, 16
+    scene = Scene(width=w, height=h, iterations=300,
+                  pos=(-2.0, 0.0), scale=(1e16, 1e16), inside=False)
+    monkeypatch.setattr(pt, "choose_reference", lambda s, ww, hh: (0, 0))
+    for c in (pt._ORBIT_CACHE, pt._BLA_CACHE, pt._FIX_CACHE,
+              pt._MULTIREF_CACHE, pt._SERIES_CACHE):
+        c.clear()
+    cold = np.asarray(render_u8(scene))
+    fkey = pt._orbit_key(scene, ("fix", 0, 0), w, h)
+    assert fkey in pt._FIX_CACHE and pt._FIX_CACHE[fkey] != ()
+    warm1 = np.asarray(render_u8(scene))
+    warm2 = np.asarray(render_u8(scene))
+    np.testing.assert_array_equal(warm1, cold)
+    np.testing.assert_array_equal(warm2, cold)
