@@ -202,7 +202,9 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None):
     h, w = scene.height * ss, scene.width * ss
     ref_px = choose_reference(scene, w, h)
     orbit = reference_orbit(scene, ref_px, w, h)
-    P = _pert_params(scene, ref_px, w, h)
+    # orbit= enables the series-approximation prefix skip; the scaled
+    # coefficients are view-global, so interleaved row stripes share them
+    P = _pert_params(scene, ref_px, w, h, orbit=orbit)
     ns = jnp.asarray([orbit.n_steps], jnp.int32)
     use_pallas = jax.default_backend() not in ("cpu",)
     zr, zi, cnt, gl = _perturb_sharded_jit(
