@@ -132,6 +132,11 @@ def main():
                 _, stats = _bench_config(sc, max(2, args.repeats // 2),
                                          args.backend)
                 stats["precision"] = resolve_precision(sc)
+                if stats["precision"] == "perturb":
+                    # warm frames ride the per-view caches (orbit, BLA,
+                    # series coefficients, dense glitch fixes — PERF.md);
+                    # a COLD first frame pays the resolve (~2x at 1e12)
+                    stats["note"] = "warm frame (view caches populated)"
                 configs[name] = stats
             except Exception as e:  # keep the harness alive per-config
                 configs[name] = {"error": str(e)[:200]}

@@ -192,10 +192,65 @@ def reference_orbit(scene, ref_px: Tuple[int, int], width: int,
                                      + z32[1 : n + 1, 1] ** 2)
     orbit = RefOrbit(packed, n_steps, (u0, v0))
     _cache_put(_ORBIT_CACHE, key, orbit)
+    # Cross-view reuse index: the orbit is a property of the exact starting
+    # point (and budget/limit), not of the viewport — record it under its c
+    # so pans/zooms over the same region skip the high-precision walk
+    # entirely (see resolve_reference).
+    ckey = (scene.algo, scene.julia_set if scene.algo == "julia" else None,
+            float(scene.limit), c0r_f, c0i_f)
+    _cache_put(_C_ORBIT_CACHE, ckey, (orbit, iters))
     return orbit
 
 
 _REF_CACHE: dict = {}
+_C_ORBIT_CACHE: dict = {}  # exact-c keyed orbits for cross-view reuse
+
+
+def reuse_reference(scene, width: int, height: int):
+    """((u, v) float pixel coords, orbit) reusing a cached orbit whose exact
+    starting c lies inside the CURRENT view with a sufficient budget, or
+    None.  This is the interactive deep-zoom fast path: a pan or zoom over
+    the same region keeps the previous reference (its orbit is unchanged —
+    only the viewport moved), skipping both the high-precision host walk
+    (seconds at mpmath depths) and the device probe.  Fractional reference
+    coordinates are exact for the δc math: δc = (x−u0)·A holds for any
+    real u0, and the kernels never index by the reference pixel."""
+    (Ar, Cr), (Ai, Ci) = _affine_fractions(width, height, exact_pos(scene),
+                                           scene.scale)
+    want = (scene.algo,
+            scene.julia_set if scene.algo == "julia" else None,
+            float(scene.limit))
+    for ckey in reversed(list(_C_ORBIT_CACHE.keys())):  # newest first
+        algo, jl, lim, c0r_f, c0i_f = ckey
+        if (algo, jl, lim) != want:
+            continue
+        orbit, iters = _C_ORBIT_CACHE[ckey]
+        # full-budget references only: a short (escaped) orbit would send
+        # every long-running pixel to the glitch fallback
+        if iters < scene.iterations or orbit.n_steps < scene.iterations:
+            continue
+        u = (c0r_f - Cr) / Ar
+        v = (c0i_f - Ci) / Ai
+        if 0 <= u <= width - 1 and 0 <= v <= height - 1:
+            _C_ORBIT_CACHE[ckey] = _C_ORBIT_CACHE.pop(ckey)  # refresh LRU
+            return (float(u), float(v)), orbit
+    return None
+
+
+def resolve_reference(scene, width: int, height: int):
+    """(ref_px, orbit) for a view: exact-view memo first (bit-stable for
+    repeated frames), then cross-view orbit reuse, then the fresh
+    choose_reference probe + host walk."""
+    cu, cv = width // 2, height // 2
+    if _cache_get(_REF_CACHE, _orbit_key(scene, (cu, cv), width,
+                                         height)) is not None:
+        ref = choose_reference(scene, width, height)
+        return ref, reference_orbit(scene, ref, width, height)
+    ru = reuse_reference(scene, width, height)
+    if ru is not None:
+        return ru
+    ref = choose_reference(scene, width, height)
+    return ref, reference_orbit(scene, ref, width, height)
 
 
 @functools.partial(jax.jit, static_argnames=("algo", "power", "iterations",
@@ -971,18 +1026,65 @@ def _pert_fallback_1d_jit(orbit, P, n_steps, xs, ys, *, iterations: int,
                          iterations, chunk, load_block)
 
 
+def _sliced_orbit(orbit: RefOrbit, iterations: int) -> RefOrbit:
+    """Clip a (possibly larger-budget) cached orbit to this view's static
+    row count so array shapes — and hence compiled programs — stay stable
+    across reuse.  n_steps is clipped to the budget too: the clipped table
+    still covers every consumable row, and n_steps ≥ iterations disables
+    the ran-out flag exactly as the original would."""
+    rows = iterations + max(CHUNK, PERT_CHUNK)
+    if orbit.packed.shape[0] == rows:
+        return orbit
+    return RefOrbit(np.ascontiguousarray(orbit.packed[:rows]),
+                    min(orbit.n_steps, iterations), orbit.ref_px)
+
+
+def _candidate_refs(scene, width: int, height: int, limit: int = 4):
+    """Cached orbits usable as secondary references for this view (newest
+    first): same algo/julia/limit, exact starting c inside the view, and a
+    complete walk (full budget, or escaped before its own budget).  Used by
+    the multiref resolver to try known orbits before paying fresh
+    high-precision walks — on an interactive pan the previous view's
+    secondaries sit near the same minibrots and usually still resolve."""
+    (Ar, Cr), (Ai, Ci) = _affine_fractions(width, height, exact_pos(scene),
+                                           scene.scale)
+    want = (scene.algo,
+            scene.julia_set if scene.algo == "julia" else None,
+            float(scene.limit))
+    out = []
+    for ckey in reversed(list(_C_ORBIT_CACHE.keys())):
+        algo, jl, lim, c0r_f, c0i_f = ckey
+        if (algo, jl, lim) != want:
+            continue
+        orbit, iters = _C_ORBIT_CACHE[ckey]
+        complete = iters >= scene.iterations or orbit.n_steps < iters
+        if not complete:
+            continue
+        u = (c0r_f - Cr) / Ar
+        v = (c0i_f - Ci) / Ai
+        if 0 <= u <= width - 1 and 0 <= v <= height - 1:
+            out.append(((float(u), float(v)),
+                        _sliced_orbit(orbit, scene.iterations)))
+            if len(out) >= limit:
+                break
+    return out
+
+
 def _multiref_resolve(scene, idx, width: int, height: int, max_refs: int = 4,
                       refs_out: list = None, row0: int = 0):
     """Re-render the flagged pixel list with successive secondary reference
     orbits (classic multi-reference perturbation: each round picks the
     medoid of the still-glitched pixels as the next reference, whose own
-    neighborhood then iterates glitch-free).  Returns (zr, zi, cnt) f32/i32
-    arrays in ``idx`` order; pixels still flagged after ``max_refs`` rounds
-    keep their last (best-effort) values — never observed past 2 rounds.
+    neighborhood then iterates glitch-free).  Cached orbits inside the view
+    are tried FIRST (``_candidate_refs``): on a pan, the previous view's
+    references usually still resolve, skipping the high-precision walks
+    that dominate interactive latency.  Returns (zr, zi, cnt) f32/i32
+    arrays in ``idx`` order; pixels still flagged after ``max_refs`` medoid
+    rounds keep their last (best-effort) values — never observed past 2.
 
-    ``refs_out`` (optional list) collects the reference pixels used, so the
-    caller can cache them and run later frames of the same view through the
-    device-resident fallback (``_multiref_fallback_jit``).
+    ``refs_out`` (optional list) collects ``(ref_px, orbit)`` pairs for the
+    references that resolved pixels, so the caller can cache them and run
+    later frames of the same view through the device-resident fallback.
 
     ``idx``/``row0``: flat indices into a (rows, width) slab whose first row
     is global row ``row0`` of the (height, width) grid — banded renders
@@ -994,16 +1096,20 @@ def _multiref_resolve(scene, idx, width: int, height: int, max_refs: int = 4,
     out_zi = np.zeros(n, np.float32)
     out_cnt = np.zeros(n, np.int32)
     remaining = np.arange(n)
-    for _ in range(max_refs):
-        if remaining.size == 0:
-            break
+    candidates = _candidate_refs(scene, width, height)
+    medoid_rounds = 0
+    while remaining.size and medoid_rounds < max_refs:
         xs = (idx[remaining] % width).astype(np.float32)
         ys = (idx[remaining] // width + row0).astype(np.float32)
-        mi = int(np.argmin((xs - xs.mean()) ** 2 + (ys - ys.mean()) ** 2))
-        ref = (int(xs[mi]), int(ys[mi]))
-        if refs_out is not None:
-            refs_out.append(ref)
-        orbit = reference_orbit(scene, ref, width, height)
+        if candidates:
+            ref, orbit = candidates.pop(0)
+            walked = False
+        else:
+            mi = int(np.argmin((xs - xs.mean()) ** 2 + (ys - ys.mean()) ** 2))
+            ref = (int(xs[mi]), int(ys[mi]))
+            orbit = reference_orbit(scene, ref, width, height)
+            medoid_rounds += 1
+            walked = True
         P = _pert_params(scene, ref, width, height)
         k = 1 << max(7, (remaining.size - 1).bit_length())
         xs_p = np.full(k, float(width), np.float32)   # pad off-image: escapes
@@ -1019,6 +1125,11 @@ def _multiref_resolve(scene, idx, width: int, height: int, max_refs: int = 4,
         zi1 = np.asarray(zi1).ravel()[: remaining.size]
         cnt1 = np.asarray(cnt1).ravel()[: remaining.size]
         gl1 = np.asarray(gl1).ravel()[: remaining.size]
+        resolved_any = bool((gl1 == 0).any())
+        if not (walked or resolved_any):
+            continue  # useless cached candidate: no writes, try the next
+        if refs_out is not None:
+            refs_out.append((ref, orbit))
         out_zr[remaining] = zr1
         out_zi[remaining] = zi1
         out_cnt[remaining] = cnt1
@@ -1286,12 +1397,17 @@ _PLANES_CACHE: dict = {}
 
 
 def _planes_for(scene, orbit, ref_px, width, height, fast: bool):
-    key = (_orbit_key(scene, ref_px, width, height), fast)
+    """Device-resident orbit planes, keyed by the ORBIT's identity (not the
+    view): a pan reuses the same orbit (resolve_reference), and re-keying
+    per view would re-upload ~9 MB of planes over the device link every
+    pan.  The cached value pins ``orbit.packed`` so the id stays unique
+    while the entry lives."""
+    key = (id(orbit.packed), fast)
     hit = _cache_get(_PLANES_CACHE, key)
     if hit is not None:
-        return hit
+        return hit[1]
     planes = orbit_planes(orbit)
-    _cache_put(_PLANES_CACHE, key, planes)
+    _cache_put(_PLANES_CACHE, key, (orbit.packed, planes))
     return planes
 
 
@@ -1300,19 +1416,19 @@ _PACKED_CACHE: dict = {}
 
 def _packed_for(scene, orbit, ref_px, width, height, fast: bool):
     """Cached device-resident orbit table for the jnp (CPU) path — the
-    analog of ``_planes_for``.  The fast tier stores a gtol-zeroed copy
-    (the Pauldelbrot test never fires).  Without this, a banded render
-    re-uploaded the multi-MB table once per band."""
-    key = (_orbit_key(scene, ref_px, width, height), fast)
+    analog of ``_planes_for`` (same orbit-identity keying: pans and bands
+    must not re-upload the multi-MB table).  The fast tier stores a
+    gtol-zeroed copy (the Pauldelbrot test never fires)."""
+    key = (id(orbit.packed), fast)
     hit = _cache_get(_PACKED_CACHE, key)
     if hit is not None:
-        return hit
+        return hit[1]
     packed = orbit.packed
     if fast:
         packed = packed.copy()
         packed[:, 4] = 0.0  # gtol 0 ⇒ the glitch test never fires
     dev = jnp.asarray(packed)
-    _cache_put(_PACKED_CACHE, key, dev)
+    _cache_put(_PACKED_CACHE, key, (orbit.packed, dev))
     return dev
 
 
@@ -1347,8 +1463,7 @@ def _perturb_setup(scene, fast: bool):
     ss = scene.supersample
     h, w = scene.height * ss, scene.width * ss
     on_accel = jax.default_backend() not in ("cpu",)
-    ref_px = choose_reference(scene, w, h)
-    orbit = reference_orbit(scene, ref_px, w, h)
+    ref_px, orbit = resolve_reference(scene, w, h)
     P = _pert_params(scene, ref_px, w, h, orbit=orbit)
     ns = jnp.int32(orbit.n_steps)
     if on_accel:
@@ -1450,10 +1565,13 @@ def render_perturb(scene, fast: bool = False):
         _cache_put(_FIX_CACHE, fkey, (gl != 0, zr, zi, cnt),
                    cap=_FIX_CACHE_MAX)
         if refs:
-            orbs = [reference_orbit(scene, r, w, h) for r in refs]
+            # refs carries (ref_px, orbit) pairs — candidate orbits reused
+            # from other views must not be re-walked (their exact c is not
+            # representable from the float pixel coordinate)
+            orbs = [_sliced_orbit(o, scene.iterations) for _, o in refs]
             cached = (
                 jnp.asarray(np.stack([o.packed for o in orbs])),
-                jnp.stack([_pert_params(scene, r, w, h) for r in refs]),
+                jnp.stack([_pert_params(scene, r, w, h) for r, _ in refs]),
                 jnp.asarray(np.array([o.n_steps for o in orbs], np.int32)),
                 tuple(orbit_planes(o) for o in orbs) if on_accel else None,
             )

@@ -316,10 +316,10 @@ def test_multiref_device_fallback_matches_host():
         height=h, width=w)
     img_host = np.asarray(pt._color_jit(scene, zr_h, zi_h, cnt_h))
 
-    # device-resident resolve with the cached refs
-    orbs = [pt.reference_orbit(scene, r, w, h) for r in refs]
+    # device-resident resolve with the cached refs ((ref_px, orbit) pairs)
+    orbs = [pt._sliced_orbit(o, 300) for _, o in refs]
     orbits = jnp.asarray(np.stack([o.packed for o in orbs]))
-    Ps = jnp.stack([pt._pert_params(scene, r, w, h) for r in refs])
+    Ps = jnp.stack([pt._pert_params(scene, r, w, h) for r, _ in refs])
     n_stepss = jnp.asarray(np.array([o.n_steps for o in orbs], np.int32))
     kpad = 1 << max(7, (int(gl_np.sum()) - 1).bit_length())
     img_dev = np.asarray(pt._multiref_fallback_color_jit(
@@ -555,3 +555,59 @@ def test_fix_cache_warm_frames_match_cold(monkeypatch):
     warm2 = np.asarray(render_u8(scene))
     np.testing.assert_array_equal(warm1, cold)
     np.testing.assert_array_equal(warm2, cold)
+
+
+def test_orbit_reuse_across_pan(monkeypatch):
+    """Interactive deep-zoom pan: after rendering a view, a sub-f64 pan
+    must NOT repay the high-precision host walk — the cached orbit is
+    reused at fractional reference coordinates — and the panned render's
+    counts must still match 45-digit mpmath exactly on well-conditioned
+    pixels (the fractional-reference δc math is exact)."""
+    w, h = 16, 12
+    for c in (pt._ORBIT_CACHE, pt._C_ORBIT_CACHE, pt._REF_CACHE,
+              pt._FIX_CACHE, pt._MULTIREF_CACHE, pt._SERIES_CACHE):
+        c.clear()  # earlier tests seed orbits near this view's center
+    a = Scene(width=w, height=h, iterations=300,
+              pos_str=("-2.0", "0.0"), scale=(1e16, 1e16))
+    np.asarray(render_u8(a))  # populate the exact-c orbit index
+
+    b = a.replace(pos_str=("-1.99999999999999999", "0.0"))  # ~1.2 px pan
+    ru = pt.reuse_reference(b, w, h)
+    assert ru is not None, "pan within the view must reuse the orbit"
+    (u, v), orbit = ru
+    assert orbit.n_steps >= 300
+    assert abs(u - w // 2) > 0.5  # the reference moved off the old center
+
+    walks = []
+    real_orbit = pt.reference_orbit
+    monkeypatch.setattr(
+        pt, "reference_orbit",
+        lambda sc, ref, ww, hh: walks.append(ref) or
+        real_orbit(sc, ref, ww, hh))
+    img = np.asarray(render_u8(b))
+    # zero high-precision walks: the primary reuses the panned-from orbit
+    # (resolve_reference) and the glitched needle pixels resolve against
+    # view A's cached secondary orbits (_candidate_refs)
+    assert walks == [], f"pan re-ran high-precision walks: {walks}"
+    assert img.shape == (h, w, 3)
+
+    # exactness through the fractional reference: sampled counts vs mpmath
+    from fractal_tpu.ops.escape_pallas import viewport_affine  # noqa: F401
+    (Ar, Cr), (Ai, Ci) = pt._affine_fractions(w, h, pt.exact_pos(b), b.scale)
+    h2, w2 = h, w
+    ref_px, orbit2 = pt.resolve_reference(b, w2, h2)
+    assert isinstance(ref_px[0], float)
+    P = pt._pert_params(b, ref_px, w2, h2, orbit=orbit2)
+    got, _, gcnt, _ = pt.perturb_whole_jnp(
+        jnp.asarray(orbit2.packed), P, jnp.int32(orbit2.n_steps),
+        iterations=300, height=h2, width=w2)
+    gcnt = np.asarray(gcnt)
+    rng = np.random.default_rng(1)
+    checked = 0
+    for x, y in zip(rng.integers(0, w, 8), rng.integers(0, h, 8)):
+        truth = _mpmath_count(Ar * int(x) + Cr, Ai * int(y) + Ci, 300,
+                              b.limit)
+        if truth < 250:
+            assert gcnt[y, x] == truth, (x, y, gcnt[y, x], truth)
+            checked += 1
+    assert checked >= 4
