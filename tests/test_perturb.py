@@ -611,3 +611,35 @@ def test_orbit_reuse_across_pan(monkeypatch):
             assert gcnt[y, x] == truth, (x, y, gcnt[y, x], truth)
             checked += 1
     assert checked >= 4
+
+
+def test_orbit_reuse_across_zoom_and_budget():
+    """Zoom-in reuses the orbit (the center c stays in view), and a SMALLER
+    iteration budget reuses a larger-budget orbit via row slicing — in both
+    cases bit-identical to a fresh render (the cached walk's prefix equals
+    the fresh walk)."""
+    for c in (pt._ORBIT_CACHE, pt._C_ORBIT_CACHE, pt._REF_CACHE,
+              pt._FIX_CACHE, pt._MULTIREF_CACHE, pt._SERIES_CACHE):
+        c.clear()
+    w, h = 32, 24
+    a = Scene(width=w, height=h, iterations=600,
+              pos_str=("-0.74364388703715871", "0.13182590420531198"),
+              scale=(1e15, 1e15), inside=False)
+    np.asarray(render_u8(a))  # cache a 600-budget orbit at this c
+
+    walks = []
+    real_orbit = pt.reference_orbit
+    zoomed = a.replace(scale=(4e15, 4e15), iterations=300)
+    try:
+        pt.reference_orbit = lambda sc, r, ww, hh: walks.append(r) or \
+            real_orbit(sc, r, ww, hh)
+        reused = np.asarray(render_u8(zoomed))
+    finally:
+        pt.reference_orbit = real_orbit
+    assert walks == [], f"zoom re-walked: {walks}"
+
+    for c in (pt._ORBIT_CACHE, pt._C_ORBIT_CACHE, pt._REF_CACHE,
+              pt._FIX_CACHE, pt._MULTIREF_CACHE, pt._SERIES_CACHE):
+        c.clear()
+    fresh = np.asarray(render_u8(zoomed))
+    np.testing.assert_array_equal(reused, fresh)
