@@ -193,15 +193,17 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None):
     row stripe of f32 δ-orbits; the exact ds32 glitch fallback and the
     coloring epilogue run once on the gathered result."""
     from fractal_tpu.ops.perturb import (
-        _apply_fallback, _pert_params, choose_reference, reference_orbit,
+        _apply_fallback, _pert_params, resolve_reference,
     )
     from fractal_tpu.render import _color_and_downsample
 
     mesh = mesh if mesh is not None else make_mesh()
     ss = scene.supersample
     h, w = scene.height * ss, scene.width * ss
-    ref_px = choose_reference(scene, w, h)
-    orbit = reference_orbit(scene, ref_px, w, h)
+    # resolve_reference (not choose_reference): the single-device path
+    # reuses cached cross-view orbits, and sharded==single-device equality
+    # requires both paths to pick the SAME reference for the same state
+    ref_px, orbit = resolve_reference(scene, w, h)
     # orbit= enables the series-approximation prefix skip; the scaled
     # coefficients are view-global, so interleaved row stripes share them
     P = _pert_params(scene, ref_px, w, h, orbit=orbit)
