@@ -233,7 +233,8 @@ def reuse_reference(scene, width: int, height: int):
         v = (c0i_f - Ci) / Ai
         if 0 <= u <= width - 1 and 0 <= v <= height - 1:
             _C_ORBIT_CACHE[ckey] = _C_ORBIT_CACHE.pop(ckey)  # refresh LRU
-            return (float(u), float(v)), orbit
+            return (float(u), float(v)), _sliced_orbit(orbit,
+                                                       scene.iterations)
     return None
 
 
@@ -1026,17 +1027,28 @@ def _pert_fallback_1d_jit(orbit, P, n_steps, xs, ys, *, iterations: int,
                          iterations, chunk, load_block)
 
 
+_SLICE_CACHE: dict = {}
+
+
 def _sliced_orbit(orbit: RefOrbit, iterations: int) -> RefOrbit:
     """Clip a (possibly larger-budget) cached orbit to this view's static
     row count so array shapes — and hence compiled programs — stay stable
     across reuse.  n_steps is clipped to the budget too: the clipped table
     still covers every consumable row, and n_steps ≥ iterations disables
-    the ran-out flag exactly as the original would."""
+    the ran-out flag exactly as the original would.  Memoized per
+    (orbit, budget) so the clipped table keeps a stable identity for the
+    device-array caches (``_planes_for``/``_packed_for`` key by id)."""
     rows = iterations + max(CHUNK, PERT_CHUNK)
     if orbit.packed.shape[0] == rows:
         return orbit
-    return RefOrbit(np.ascontiguousarray(orbit.packed[:rows]),
-                    min(orbit.n_steps, iterations), orbit.ref_px)
+    key = (id(orbit.packed), rows)
+    hit = _cache_get(_SLICE_CACHE, key)
+    if hit is not None:
+        return hit[1]
+    sliced = RefOrbit(np.ascontiguousarray(orbit.packed[:rows]),
+                      min(orbit.n_steps, iterations), orbit.ref_px)
+    _cache_put(_SLICE_CACHE, key, (orbit.packed, sliced))
+    return sliced
 
 
 def _candidate_refs(scene, width: int, height: int, limit: int = 4):
@@ -1190,6 +1202,7 @@ def _multiref_fallback_color_jit(scene, zr, zi, cnt, gl, orbits, Ps, n_stepss,
     fzi = jnp.zeros((kpad,), jnp.float32)
     fcnt = jnp.zeros((kpad,), jnp.int32)
     pending = jnp.ones((kpad,), jnp.bool_)
+    unresolved = jnp.ones((kpad,), jnp.bool_)
     rows = orbits.shape[1]
 
     for r in range(n_refs):
@@ -1213,17 +1226,23 @@ def _multiref_fallback_color_jit(scene, zr, zi, cnt, gl, orbits, Ps, n_stepss,
                 xs.reshape(1, kpad), ys.reshape(1, kpad),
                 [Ps[r, i] for i in range(16)],
                 n_stepss[r], iterations, chunk, load_block)
-        take = pending & ((rgl.ravel() == 0) | (r == n_refs - 1))
+        ok = rgl.ravel() == 0
+        take = pending & (ok | (r == n_refs - 1))
         fzr = jnp.where(take, rzr.ravel(), fzr)
         fzi = jnp.where(take, rzi.ravel(), fzi)
         fcnt = jnp.where(take, rcnt.ravel(), fcnt)
+        unresolved = unresolved & ~(pending & ok)
         pending = pending & ~take
 
+    # pixels no reference de-glitched (the forced last-ref take is
+    # best-effort, not a resolution) — callers use this residual to decide
+    # whether a host-driven medoid walk is still needed
+    n_residual = jnp.sum((unresolved & in_img).astype(jnp.int32))
     shape = (height, width)
     zr = zr.ravel().at[idx].set(fzr, mode="drop").reshape(shape)
     zi = zi.ravel().at[idx].set(fzi, mode="drop").reshape(shape)
     cnt = cnt.ravel().at[idx].set(fcnt, mode="drop").reshape(shape)
-    return _color_and_downsample(scene, zr, zi, cnt)
+    return _color_and_downsample(scene, zr, zi, cnt), zr, zi, cnt, n_residual
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width"))
@@ -1553,7 +1572,32 @@ def render_perturb(scene, fast: bool = False):
     # so every later frame resolves device-resident in one program.
     view_key = _orbit_key(scene, ("multiref",), w, h)
     cached = _cache_get(_MULTIREF_CACHE, view_key)
+    kpad = 1 << max(7, (n - 1).bit_length())
     if cached is None:
+        # Pan fast path: before the host-driven resolve (mask fetch +
+        # sequential device rounds — each a dispatch round trip over a
+        # tunneled link), try the cached in-view candidate orbits in ONE
+        # device program.  Only a scalar residual count crosses the link;
+        # if every glitched pixel resolved (the common pan case), this
+        # replaces the whole host loop.
+        cands = _candidate_refs(scene, w, h)
+        if cands:
+            cached = _refs_device_pack(scene, cands, w, h, on_accel)
+            img2, zr2, zi2, cnt2, nres = _multiref_fallback_color_jit(
+                scene, zr, zi, cnt, gl, cached[0], cached[1], cached[2],
+                iterations=scene.iterations, kpad=kpad,
+                n_refs=int(cached[0].shape[0]), height=h, width=w,
+                chunk=PERT_CHUNK if on_accel else PERT_CHUNK_CPU,
+                julia=scene.algo == "julia",
+                use_pallas=on_accel and cached[3] is not None,
+                planes_list=cached[3],
+            )
+            if int(nres) == 0:
+                _cache_put(_MULTIREF_CACHE, view_key, cached)
+                _cache_put(_FIX_CACHE, fkey, (gl != 0, zr2, zi2, cnt2),
+                           cap=_FIX_CACHE_MAX)
+                return img2
+            cached = None  # candidates insufficient: full host resolve
         refs: list = []
         idx = np.flatnonzero(np.asarray(gl.astype(jnp.uint8)))
         hzr, hzi, hcnt = _multiref_resolve(scene, idx, w, h, refs_out=refs)
@@ -1568,24 +1612,34 @@ def render_perturb(scene, fast: bool = False):
             # refs carries (ref_px, orbit) pairs — candidate orbits reused
             # from other views must not be re-walked (their exact c is not
             # representable from the float pixel coordinate)
-            orbs = [_sliced_orbit(o, scene.iterations) for _, o in refs]
-            cached = (
-                jnp.asarray(np.stack([o.packed for o in orbs])),
-                jnp.stack([_pert_params(scene, r, w, h) for r, _ in refs]),
-                jnp.asarray(np.array([o.n_steps for o in orbs], np.int32)),
-                tuple(orbit_planes(o) for o in orbs) if on_accel else None,
-            )
-            _cache_put(_MULTIREF_CACHE, view_key, cached)
+            _cache_put(_MULTIREF_CACHE, view_key,
+                       _refs_device_pack(scene, refs, w, h, on_accel))
         return _color_jit(scene, zr, zi, cnt)
     orbits, Ps, n_stepss, planes_list = cached
-    kpad = 1 << max(7, (n - 1).bit_length())
-    return _multiref_fallback_color_jit(
+    img2, zr2, zi2, cnt2, _ = _multiref_fallback_color_jit(
         scene, zr, zi, cnt, gl, orbits, Ps, n_stepss,
         iterations=scene.iterations, kpad=kpad, n_refs=orbits.shape[0],
         height=h, width=w, chunk=PERT_CHUNK if on_accel else PERT_CHUNK_CPU,
         julia=scene.algo == "julia",
         use_pallas=on_accel and planes_list is not None,
         planes_list=planes_list,
+    )
+    _cache_put(_FIX_CACHE, fkey, (gl != 0, zr2, zi2, cnt2),
+               cap=_FIX_CACHE_MAX)
+    return img2
+
+
+def _refs_device_pack(scene, refs, w, h, on_accel):
+    """(orbits, Ps, n_stepss, planes_list) device pack for the multiref
+    program from (ref_px, orbit) pairs."""
+    orbs = [_sliced_orbit(o, scene.iterations) for _, o in refs]
+    return (
+        jnp.asarray(np.stack([o.packed for o in orbs])),
+        jnp.stack([_pert_params(scene, r, w, h) for r, _ in refs]),
+        jnp.asarray(np.array([o.n_steps for o in orbs], np.int32)),
+        tuple(_planes_for(scene, o, r, w, h, False)
+              for r, o in zip((r for r, _ in refs), orbs))
+        if on_accel else None,
     )
 
 

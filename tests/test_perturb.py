@@ -322,10 +322,11 @@ def test_multiref_device_fallback_matches_host():
     Ps = jnp.stack([pt._pert_params(scene, r, w, h) for r, _ in refs])
     n_stepss = jnp.asarray(np.array([o.n_steps for o in orbs], np.int32))
     kpad = 1 << max(7, (int(gl_np.sum()) - 1).bit_length())
-    img_dev = np.asarray(pt._multiref_fallback_color_jit(
+    img_dev, _, _, _, nres = pt._multiref_fallback_color_jit(
         scene, zr, zi, cnt, gl, orbits, Ps, n_stepss,
-        iterations=300, kpad=kpad, n_refs=len(refs), height=h, width=w))
-    np.testing.assert_array_equal(img_dev, img_host)
+        iterations=300, kpad=kpad, n_refs=len(refs), height=h, width=w)
+    np.testing.assert_array_equal(np.asarray(img_dev), img_host)
+    assert int(nres) <= 2  # at most the measure-zero needle pixels
 
 
 def test_p32_fast_tier_matches_perturb_on_clean_pixels():
