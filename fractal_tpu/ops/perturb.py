@@ -113,9 +113,9 @@ def _cache_put(cache: dict, key, val, cap: int = _ORBIT_CACHE_MAX):
 
 
 def _orbit_key(scene, ref_px, width, height):
-    return (scene.algo, width, height, scene.iterations, scene.pos,
-            scene.pos_str, scene.scale, scene.julia_set, float(scene.limit),
-            scene.supersample, ref_px)
+    return (scene.algo, scene.power, width, height, scene.iterations,
+            scene.pos, scene.pos_str, scene.scale, scene.julia_set,
+            float(scene.limit), scene.supersample, ref_px)
 
 
 def reference_orbit(scene, ref_px: Tuple[int, int], width: int,
@@ -139,6 +139,7 @@ def reference_orbit(scene, ref_px: Tuple[int, int], width: int,
     limit_sq = float(scene.limit) ** 2
 
     spacing = scene.pixel_spacing / scene.supersample
+    d = scene.power if scene.algo == "multibrot" else 2
     zs = np.empty((iters + 1, 2), np.float64)
     if spacing > F64_ORBIT_SPACING_LIMIT:
         c0r, c0i = float(c0r_f), float(c0i_f)
@@ -146,14 +147,15 @@ def reference_orbit(scene, ref_px: Tuple[int, int], width: int,
             cr, ci = float(scene.julia_set[0]), float(scene.julia_set[1])
         else:
             cr, ci = c0r, c0i
-        zr, zi = c0r, c0i  # z starts at the pixel coordinate (calc:208-212)
+        z = complex(c0r, c0i)  # z starts at the pixel coord (calc:208-212)
+        c = complex(cr, ci)
         n = 0
-        zs[0] = (zr, zi)
+        zs[0] = (z.real, z.imag)
         while n < iters:
-            zr, zi = zr * zr - zi * zi + cr, 2.0 * zr * zi + ci
+            z = z ** d + c
             n += 1
-            zs[n] = (zr, zi)
-            if zr * zr + zi * zi > limit_sq:
+            zs[n] = (z.real, z.imag)
+            if z.real * z.real + z.imag * z.imag > limit_sq:
                 break
     else:
         import mpmath as mp
@@ -167,14 +169,14 @@ def reference_orbit(scene, ref_px: Tuple[int, int], width: int,
                 ci_m = mp.mpf(float(scene.julia_set[1]))
             else:
                 cr_m, ci_m = c0r_m, c0i_m
-            zr_m, zi_m = c0r_m, c0i_m
+            z_m = mp.mpc(c0r_m, c0i_m)
+            c_m = mp.mpc(cr_m, ci_m)
             n = 0
-            zs[0] = (float(zr_m), float(zi_m))
+            zs[0] = (float(z_m.real), float(z_m.imag))
             while n < iters:
-                zr_m, zi_m = (zr_m * zr_m - zi_m * zi_m + cr_m,
-                              2 * zr_m * zi_m + ci_m)
+                z_m = z_m ** d + c_m
                 n += 1
-                zs[n] = (float(zr_m), float(zi_m))
+                zs[n] = (float(z_m.real), float(z_m.imag))
                 if zs[n, 0] ** 2 + zs[n, 1] ** 2 > limit_sq:
                     break
 
@@ -196,7 +198,8 @@ def reference_orbit(scene, ref_px: Tuple[int, int], width: int,
     # point (and budget/limit), not of the viewport — record it under its c
     # so pans/zooms over the same region skip the high-precision walk
     # entirely (see resolve_reference).
-    ckey = (scene.algo, scene.julia_set if scene.algo == "julia" else None,
+    ckey = (scene.algo, scene.power,
+            scene.julia_set if scene.algo == "julia" else None,
             float(scene.limit), c0r_f, c0i_f)
     _cache_put(_C_ORBIT_CACHE, ckey, (orbit, iters))
     return orbit
@@ -217,12 +220,12 @@ def reuse_reference(scene, width: int, height: int):
     real u0, and the kernels never index by the reference pixel."""
     (Ar, Cr), (Ai, Ci) = _affine_fractions(width, height, exact_pos(scene),
                                            scene.scale)
-    want = (scene.algo,
+    want = (scene.algo, scene.power,
             scene.julia_set if scene.algo == "julia" else None,
             float(scene.limit))
     for ckey in reversed(list(_C_ORBIT_CACHE.keys())):  # newest first
-        algo, jl, lim, c0r_f, c0i_f = ckey
-        if (algo, jl, lim) != want:
+        algo, power, jl, lim, c0r_f, c0i_f = ckey
+        if (algo, power, jl, lim) != want:
             continue
         orbit, iters = _C_ORBIT_CACHE[ckey]
         # full-budget references only: a short (escaped) orbit would send
@@ -310,7 +313,7 @@ def choose_reference(scene, width: int, height: int) -> Tuple[int, int]:
 
 
 def _perturb_tile(xx, yy, P, n_steps, iterations: int,
-                  chunk: int, load_block):
+                  chunk: int, load_block, power: int = 2):
     """Iterate δz for one tile (or the whole image).
 
     ``load_block(n0) -> (chunk, 8) orbit rows`` abstracts VMEM vs jnp
@@ -353,11 +356,30 @@ def _perturb_tile(xx, yy, P, n_steps, iterations: int,
         dzr, dzi, zfr, zfi, cnt, gl = state
         live = _active(zfr, zfi, cnt, gl, n) & (n < n_steps)
         Zr, Zi, Zr1, Zi1, gtol = row[0], row[1], row[2], row[3], row[4]
-        # δz' = 2Z·δz + δz² + δc   (Julia: δc folded into δz₀, P[5]=0 kills it)
-        tr = 2.0 * Zr + dzr
-        ti = 2.0 * Zi + dzi
-        ndzr = tr * dzr - ti * dzi + dcr * P[5]
-        ndzi = tr * dzi + ti * dzr + dci * P[5]
+        if power == 2:
+            # δz' = 2Z·δz + δz² + δc (Julia: δc folded into δz₀, P[5]=0)
+            tr = 2.0 * Zr + dzr
+            ti = 2.0 * Zi + dzi
+            ndzr = tr * dzr - ti * dzi + dcr * P[5]
+            ndzi = tr * dzi + ti * dzr + dci * P[5]
+        else:
+            # z^d + c (multibrot): (Z+δ)^d − Z^d = Σ_{k=1..d} C(d,k)
+            # Z^{d-k} δ^k — evaluated as a Horner scheme in δ with per-step
+            # scalar coefficients C(d,j)·Z^{d-j} built from the row's Z.
+            zp = [(Zr, Zi)]  # Z^1 .. Z^{d-1}
+            for _ in range(power - 2):
+                ar, ai = zp[-1]
+                zp.append((ar * Zr - ai * Zi, ar * Zi + ai * Zr))
+            accr = jnp.ones_like(dzr)   # coefficient of δ^d is 1
+            acci = jnp.zeros_like(dzi)
+            for j in range(power - 1, 0, -1):
+                cjr, cji = zp[power - 1 - j]
+                cj = float(math.comb(power, j))
+                tr = accr * dzr - acci * dzi + cj * cjr
+                ti = accr * dzi + acci * dzr + cj * cji
+                accr, acci = tr, ti
+            ndzr = accr * dzr - acci * dzi + dcr * P[5]
+            ndzi = accr * dzi + acci * dzr + dci * P[5]
         nzfr = Zr1 + ndzr
         nzfi = Zi1 + ndzi
         d = nzfr * nzfr + nzfi * nzfi
@@ -612,7 +634,10 @@ def _pert_params(scene, ref_px, width: int, height: int, orbit=None):
     (Ar, Cr), (Ai, Ci) = _affine_fractions(width, height, exact_pos(scene), scene.scale)
     dc_gain = 0.0 if scene.algo == "julia" else 1.0
     sa = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]
-    if orbit is not None:
+    if orbit is not None and scene.power == 2 \
+            and scene.algo in ("mandelbrot", "julia"):
+        # series coefficients use the quadratic recurrence; multibrot runs
+        # with the trivial series (δz₀ = δc)
         dcr_max = max(ref_px[0], width - 1 - ref_px[0]) * abs(float(Ar))
         dci_max = max(ref_px[1], height - 1 - ref_px[1]) * abs(float(Ai))
         dcm = math.hypot(dcr_max, dci_max)
@@ -649,10 +674,10 @@ BLA_MIN_LEVEL = 6  # smallest stored skip = 64 = PERT_CHUNK, so skips always
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "height", "width",
-                                             "chunk", "bla_offsets"))
+                                             "chunk", "bla_offsets", "power"))
 def perturb_whole_jnp(orbit, P, n_steps, *, iterations: int, height: int,
                       width: int, chunk: int = PERT_CHUNK_CPU,
-                      bla_packed=None, bla_offsets=None):
+                      bla_packed=None, bla_offsets=None, power: int = 2):
     """Whole-image XLA program for the δ-orbit iteration.
 
     This is the production TPU path, not just an oracle: measured 4× faster
@@ -673,10 +698,12 @@ def perturb_whole_jnp(orbit, P, n_steps, *, iterations: int, height: int,
         return jax.lax.dynamic_slice(orbit, (start, jnp.int32(0)), (chunk, 8))
 
     if bla_packed is not None:
+        assert power == 2, "BLA tables are quadratic-only"
         return _perturb_tile_bla(xx, yy, P, n_steps, iterations, chunk,
                                  load_block, bla_packed, bla_offsets,
                                  BLA_MIN_LEVEL)
-    return _perturb_tile(xx, yy, P, n_steps, iterations, chunk, load_block)
+    return _perturb_tile(xx, yy, P, n_steps, iterations, chunk, load_block,
+                         power=power)
 
 
 def orbit_planes(orbit: RefOrbit):
@@ -1011,9 +1038,11 @@ def _fallback_1d(params16, xs, ys, *, algo: str, power: int,
 DS32_FALLBACK_SPACING_LIMIT = 1e-13
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "k", "chunk"))
+@functools.partial(jax.jit, static_argnames=("iterations", "k", "chunk",
+                                             "power"))
 def _pert_fallback_1d_jit(orbit, P, n_steps, xs, ys, *, iterations: int,
-                          k: int, chunk: int = PERT_CHUNK_CPU):
+                          k: int, chunk: int = PERT_CHUNK_CPU,
+                          power: int = 2):
     """δ-orbit iteration of an arbitrary 1-D pixel list against a
     (secondary) reference orbit — the re-render pass of multi-reference
     perturbation."""
@@ -1024,7 +1053,7 @@ def _pert_fallback_1d_jit(orbit, P, n_steps, xs, ys, *, iterations: int,
         return jax.lax.dynamic_slice(orbit, (start, jnp.int32(0)), (chunk, 8))
 
     return _perturb_tile(xs.reshape(1, k), ys.reshape(1, k), P, n_steps,
-                         iterations, chunk, load_block)
+                         iterations, chunk, load_block, power=power)
 
 
 _SLICE_CACHE: dict = {}
@@ -1060,13 +1089,13 @@ def _candidate_refs(scene, width: int, height: int, limit: int = 4):
     secondaries sit near the same minibrots and usually still resolve."""
     (Ar, Cr), (Ai, Ci) = _affine_fractions(width, height, exact_pos(scene),
                                            scene.scale)
-    want = (scene.algo,
+    want = (scene.algo, scene.power,
             scene.julia_set if scene.algo == "julia" else None,
             float(scene.limit))
     out = []
     for ckey in reversed(list(_C_ORBIT_CACHE.keys())):
-        algo, jl, lim, c0r_f, c0i_f = ckey
-        if (algo, jl, lim) != want:
+        algo, power, jl, lim, c0r_f, c0i_f = ckey
+        if (algo, power, jl, lim) != want:
             continue
         orbit, iters = _C_ORBIT_CACHE[ckey]
         complete = iters >= scene.iterations or orbit.n_steps < iters
@@ -1131,7 +1160,7 @@ def _multiref_resolve(scene, idx, width: int, height: int, max_refs: int = 4,
         zr1, zi1, cnt1, gl1 = _pert_fallback_1d_jit(
             jnp.asarray(orbit.packed), P, jnp.int32(orbit.n_steps),
             jnp.asarray(xs_p), jnp.asarray(ys_p),
-            iterations=scene.iterations, k=k,
+            iterations=scene.iterations, k=k, power=scene.power,
         )
         zr1 = np.asarray(zr1).ravel()[: remaining.size]
         zi1 = np.asarray(zi1).ravel()[: remaining.size]
@@ -1174,14 +1203,14 @@ def _fix_color_jit(scene, zr, zi, cnt, mask, zrF, ziF, cntF):
 
 @functools.partial(jax.jit, static_argnames=("iterations", "kpad", "n_refs",
                                              "height", "width", "chunk",
-                                             "julia", "use_pallas"))
+                                             "julia", "use_pallas", "power"))
 def _multiref_fallback_color_jit(scene, zr, zi, cnt, gl, orbits, Ps, n_stepss,
                                  *, iterations: int, kpad: int, n_refs: int,
                                  height: int, width: int,
                                  chunk: int = PERT_CHUNK_CPU,
                                  julia: bool = False,
                                  use_pallas: bool = False,
-                                 planes_list=None):
+                                 planes_list=None, power: int = 2):
     """Device-resident multi-reference glitch resolution for warm frames.
 
     The cold frame discovers the secondary reference pixels on the host
@@ -1225,7 +1254,7 @@ def _multiref_fallback_color_jit(scene, zr, zi, cnt, gl, orbits, Ps, n_stepss,
             rzr, rzi, rcnt, rgl = _perturb_tile(
                 xs.reshape(1, kpad), ys.reshape(1, kpad),
                 [Ps[r, i] for i in range(16)],
-                n_stepss[r], iterations, chunk, load_block)
+                n_stepss[r], iterations, chunk, load_block, power=power)
         ok = rgl.ravel() == 0
         take = pending & (ok | (r == n_refs - 1))
         fzr = jnp.where(take, rzr.ravel(), fzr)
@@ -1319,6 +1348,7 @@ def iterate_perturb(scene, height: int, width: int, use_pallas: bool):
     zr, zi, cnt, gl = perturb_whole_jnp(
         jnp.asarray(orbit.packed), P, jnp.int32(orbit.n_steps),
         iterations=scene.iterations, height=height, width=width, chunk=chunk,
+        power=scene.power if scene.algo == "multibrot" else 2,
     )
     zr, zi, cnt, n_glitch = _apply_fallback(
         scene, zr, zi, cnt, gl, width, height
@@ -1336,9 +1366,10 @@ PERT_BAND_ROWS = 256
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "chunk",
-                                             "bla_offsets"))
+                                             "bla_offsets", "power"))
 def _render_perturb_jit(scene, orbit, P, n_steps, *, height: int, width: int,
-                        chunk: int, bla_packed=None, bla_offsets=None):
+                        chunk: int, bla_packed=None, bla_offsets=None,
+                        power: int = 2):
     """One fused device program: banded δ-orbit iteration → coloring →
     glitch count.  A tunneled TPU link pays ~0.3 s per dispatch, so the
     happy path (no glitches) must be exactly one program + two fetches."""
@@ -1355,6 +1386,7 @@ def _render_perturb_jit(scene, orbit, P, n_steps, *, height: int, width: int,
             orbit, p_local, n_steps,
             iterations=scene.iterations, height=band, width=width,
             chunk=chunk, bla_packed=bla_packed, bla_offsets=bla_offsets,
+            power=power,
         )
 
     starts = jnp.arange(n_bands, dtype=jnp.int32) * band
@@ -1468,20 +1500,26 @@ def _bla_dev_for(scene, orbit, ref_px, width, height):
 
 def _perturb_setup(scene, fast: bool):
     """Common prologue for the whole-image and banded perturbation renders:
-    validates the algo (the δ-orbit recurrence is hard-coded to z²+c),
+    validates the algo (δ-orbit recurrences exist for z²+c and multibrot
+    z^d+c),
     resolves the reference pixel/orbit/params once (all cached per view),
     and returns the device inputs for the active backend.
 
     Returns (h, w, on_accel, ref_px, orbit, P, ns, dev) where ``dev`` is
     the lane-replicated planes tuple on accelerators or the
     (packed orbit, bla_packed, bla_offsets) triple on CPU."""
-    if scene.algo not in ("mandelbrot", "julia") or scene.power != 2:
+    quad = scene.power == 2 and scene.algo in ("mandelbrot", "julia")
+    multi = scene.algo == "multibrot" and scene.power >= 2
+    if not (quad or multi):
         raise ValueError(
-            f"perturbation supports quadratic mandelbrot/julia only, "
-            f"not {scene.algo} (power {scene.power}); use ds32/dd64")
+            f"perturbation supports quadratic mandelbrot/julia and "
+            f"multibrot z^d+c, not {scene.algo} (power {scene.power}); "
+            f"use ds32/dd64")
     ss = scene.supersample
     h, w = scene.height * ss, scene.width * ss
-    on_accel = jax.default_backend() not in ("cpu",)
+    # multibrot runs the whole-image XLA program (the lane-replicated
+    # Pallas planes encode the quadratic 2Z coefficient only)
+    on_accel = quad and jax.default_backend() not in ("cpu",)
     ref_px, orbit = resolve_reference(scene, w, h)
     P = _pert_params(scene, ref_px, w, h, orbit=orbit)
     ns = jnp.int32(orbit.n_steps)
@@ -1489,7 +1527,11 @@ def _perturb_setup(scene, fast: bool):
         dev = _planes_for(scene, orbit, ref_px, w, h, fast)
     else:
         packed = _packed_for(scene, orbit, ref_px, w, h, fast)
-        bla_packed, bla_offsets = _bla_dev_for(scene, orbit, ref_px, w, h)
+        if scene.power == 2:
+            bla_packed, bla_offsets = _bla_dev_for(scene, orbit, ref_px,
+                                                   w, h)
+        else:
+            bla_packed, bla_offsets = None, None  # BLA is quadratic-only
         dev = (packed, bla_packed, bla_offsets)
     return h, w, on_accel, ref_px, orbit, P, ns, dev
 
@@ -1534,10 +1576,15 @@ def render_perturb(scene, fast: bool = False):
         )
     else:
         packed, bla_packed, bla_offsets = dev
+        # multibrot on an accelerator lands here too (planes are
+        # quadratic-only) — keep the deeper accelerator chunk for it
+        chunk = (PERT_CHUNK if jax.default_backend() not in ("cpu",)
+                 else PERT_CHUNK_CPU)
         img, n_gl, zr, zi, cnt, gl = _render_perturb_jit(
             scene, packed, P, ns,
-            height=h, width=w, chunk=PERT_CHUNK_CPU,
+            height=h, width=w, chunk=chunk,
             bla_packed=bla_packed, bla_offsets=bla_offsets,
+            power=scene.power if scene.algo == "multibrot" else 2,
         )
         if fast:
             return img
@@ -1591,6 +1638,7 @@ def render_perturb(scene, fast: bool = False):
                 julia=scene.algo == "julia",
                 use_pallas=on_accel and cached[3] is not None,
                 planes_list=cached[3],
+                power=scene.power if scene.algo == "multibrot" else 2,
             )
             if int(nres) == 0:
                 _cache_put(_MULTIREF_CACHE, view_key, cached)
@@ -1623,6 +1671,7 @@ def render_perturb(scene, fast: bool = False):
         julia=scene.algo == "julia",
         use_pallas=on_accel and planes_list is not None,
         planes_list=planes_list,
+        power=scene.power if scene.algo == "multibrot" else 2,
     )
     _cache_put(_FIX_CACHE, fkey, (gl != 0, zr2, zi2, cnt2),
                cap=_FIX_CACHE_MAX)
@@ -1667,15 +1716,15 @@ def _perturb_band_pallas_jit(scene, planes, P, n_steps, start, *, rows: int,
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "width", "chunk",
-                                             "bla_offsets"))
+                                             "bla_offsets", "power"))
 def _perturb_band_jnp_jit(scene, orbit, P, n_steps, start, *, rows: int,
                           width: int, chunk: int, bla_packed=None,
-                          bla_offsets=None):
+                          bla_offsets=None, power: int = 2):
     p_local = P.at[7].set(start.astype(jnp.float32))
     return perturb_whole_jnp(
         orbit, p_local, n_steps, iterations=scene.iterations, height=rows,
         width=width, chunk=chunk, bla_packed=bla_packed,
-        bla_offsets=bla_offsets,
+        bla_offsets=bla_offsets, power=power,
     )
 
 
@@ -1706,8 +1755,10 @@ def render_perturb_band(scene, start_row: int, rows: int,
         packed, bla_packed, bla_offsets = dev
         zr, zi, cnt, gl = _perturb_band_jnp_jit(
             scene, packed, P, ns, start, rows=rows, width=w,
-            chunk=PERT_CHUNK_CPU, bla_packed=bla_packed,
-            bla_offsets=bla_offsets,
+            chunk=(PERT_CHUNK if jax.default_backend() not in ("cpu",)
+                   else PERT_CHUNK_CPU),
+            bla_packed=bla_packed, bla_offsets=bla_offsets,
+            power=scene.power if scene.algo == "multibrot" else 2,
         )
     if not fast:
         zr, zi, cnt, _ = _apply_fallback(scene, zr, zi, cnt, gl, w, rows,

