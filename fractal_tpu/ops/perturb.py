@@ -118,6 +118,24 @@ def _orbit_key(scene, ref_px, width, height):
             float(scene.limit), scene.supersample, ref_px)
 
 
+def _host_step(algo: str, power: int):
+    """Host-side one-step rule for the reference walk (models/rules.py
+    semantics on python/mpmath complex scalars — `type(z)` keeps the
+    mpmath/complex arithmetic of the caller)."""
+    if algo == "burningship":
+        def step(z, c):  # (|Re z| + i|Im z|)² + c (rules.py:35-39)
+            a, b = abs(z.real), abs(z.imag)
+            return type(z)(a * a - b * b + c.real, 2 * a * b + c.imag)
+        return step
+    if algo == "tricorn":
+        def step(z, c):  # conj(z)² + c (rules.py:42-46)
+            return type(z)(z.real * z.real - z.imag * z.imag + c.real,
+                           -2 * z.real * z.imag + c.imag)
+        return step
+    d = power if algo == "multibrot" else 2
+    return lambda z, c: z ** d + c
+
+
 def reference_orbit(scene, ref_px: Tuple[int, int], width: int,
                     height: int) -> RefOrbit:
     """Iterate the reference pixel's orbit on the host.
@@ -139,7 +157,7 @@ def reference_orbit(scene, ref_px: Tuple[int, int], width: int,
     limit_sq = float(scene.limit) ** 2
 
     spacing = scene.pixel_spacing / scene.supersample
-    d = scene.power if scene.algo == "multibrot" else 2
+    step = _host_step(scene.algo, scene.power)
     zs = np.empty((iters + 1, 2), np.float64)
     if spacing > F64_ORBIT_SPACING_LIMIT:
         c0r, c0i = float(c0r_f), float(c0i_f)
@@ -152,7 +170,7 @@ def reference_orbit(scene, ref_px: Tuple[int, int], width: int,
         n = 0
         zs[0] = (z.real, z.imag)
         while n < iters:
-            z = z ** d + c
+            z = step(z, c)
             n += 1
             zs[n] = (z.real, z.imag)
             if z.real * z.real + z.imag * z.imag > limit_sq:
@@ -174,7 +192,7 @@ def reference_orbit(scene, ref_px: Tuple[int, int], width: int,
             n = 0
             zs[0] = (float(z_m.real), float(z_m.imag))
             while n < iters:
-                z_m = z_m ** d + c_m
+                z_m = step(z_m, c_m)
                 n += 1
                 zs[n] = (float(z_m.real), float(z_m.imag))
                 if zs[n, 0] ** 2 + zs[n, 1] ** 2 > limit_sq:
@@ -313,7 +331,8 @@ def choose_reference(scene, width: int, height: int) -> Tuple[int, int]:
 
 
 def _perturb_tile(xx, yy, P, n_steps, iterations: int,
-                  chunk: int, load_block, power: int = 2):
+                  chunk: int, load_block, power: int = 2,
+                  algo: str = "mandelbrot"):
     """Iterate δz for one tile (or the whole image).
 
     ``load_block(n0) -> (chunk, 8) orbit rows`` abstracts VMEM vs jnp
@@ -356,7 +375,29 @@ def _perturb_tile(xx, yy, P, n_steps, iterations: int,
         dzr, dzi, zfr, zfi, cnt, gl = state
         live = _active(zfr, zfi, cnt, gl, n) & (n < n_steps)
         Zr, Zi, Zr1, Zi1, gtol = row[0], row[1], row[2], row[3], row[4]
-        if power == 2:
+        if algo == "burningship":
+            # (|Re z|+i|Im z|)²+c: the squares erase the abs in the REAL
+            # part (a²−b² = |a|²−|b|²), so δ'_r is the plain quadratic
+            # form; the imaginary part needs |ab| − |AB| = diffabs(AB, x)
+            # with x = A·δb + B·δa + δa·δb — exact in both branches (the
+            # crossing case |X| < |x| only arises when X is itself tiny,
+            # where fl(A·B) keeps full relative accuracy).
+            ndzr = (2.0 * Zr + dzr) * dzr - (2.0 * Zi + dzi) * dzi \
+                + dcr * P[5]
+            X = Zr * Zi
+            x = Zr * dzi + Zi * dzr + dzr * dzi
+            sm = X + x
+            ndzi = 2.0 * jnp.where(
+                X >= 0.0,
+                jnp.where(sm >= 0.0, x, -(2.0 * X + x)),
+                jnp.where(sm <= 0.0, -x, 2.0 * X + x),
+            ) + dci * P[5]
+        elif algo == "tricorn":
+            # conj(z)²+c: δ'_r quadratic; δ'_i = −2(Aδb + Bδa + δaδb) + δc
+            ndzr = (2.0 * Zr + dzr) * dzr - (2.0 * Zi + dzi) * dzi \
+                + dcr * P[5]
+            ndzi = -2.0 * (Zr * dzi + Zi * dzr + dzr * dzi) + dci * P[5]
+        elif power == 2:
             # δz' = 2Z·δz + δz² + δc (Julia: δc folded into δz₀, P[5]=0)
             tr = 2.0 * Zr + dzr
             ti = 2.0 * Zi + dzi
@@ -674,10 +715,12 @@ BLA_MIN_LEVEL = 6  # smallest stored skip = 64 = PERT_CHUNK, so skips always
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "height", "width",
-                                             "chunk", "bla_offsets", "power"))
+                                             "chunk", "bla_offsets", "power",
+                                             "algo"))
 def perturb_whole_jnp(orbit, P, n_steps, *, iterations: int, height: int,
                       width: int, chunk: int = PERT_CHUNK_CPU,
-                      bla_packed=None, bla_offsets=None, power: int = 2):
+                      bla_packed=None, bla_offsets=None, power: int = 2,
+                      algo: str = "mandelbrot"):
     """Whole-image XLA program for the δ-orbit iteration.
 
     This is the production TPU path, not just an oracle: measured 4× faster
@@ -703,7 +746,7 @@ def perturb_whole_jnp(orbit, P, n_steps, *, iterations: int, height: int,
                                  load_block, bla_packed, bla_offsets,
                                  BLA_MIN_LEVEL)
     return _perturb_tile(xx, yy, P, n_steps, iterations, chunk, load_block,
-                         power=power)
+                         power=power, algo=algo)
 
 
 def orbit_planes(orbit: RefOrbit):
@@ -1039,10 +1082,10 @@ DS32_FALLBACK_SPACING_LIMIT = 1e-13
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "k", "chunk",
-                                             "power"))
+                                             "power", "algo"))
 def _pert_fallback_1d_jit(orbit, P, n_steps, xs, ys, *, iterations: int,
                           k: int, chunk: int = PERT_CHUNK_CPU,
-                          power: int = 2):
+                          power: int = 2, algo: str = "mandelbrot"):
     """δ-orbit iteration of an arbitrary 1-D pixel list against a
     (secondary) reference orbit — the re-render pass of multi-reference
     perturbation."""
@@ -1053,7 +1096,8 @@ def _pert_fallback_1d_jit(orbit, P, n_steps, xs, ys, *, iterations: int,
         return jax.lax.dynamic_slice(orbit, (start, jnp.int32(0)), (chunk, 8))
 
     return _perturb_tile(xs.reshape(1, k), ys.reshape(1, k), P, n_steps,
-                         iterations, chunk, load_block, power=power)
+                         iterations, chunk, load_block, power=power,
+                         algo=algo)
 
 
 _SLICE_CACHE: dict = {}
@@ -1161,6 +1205,7 @@ def _multiref_resolve(scene, idx, width: int, height: int, max_refs: int = 4,
             jnp.asarray(orbit.packed), P, jnp.int32(orbit.n_steps),
             jnp.asarray(xs_p), jnp.asarray(ys_p),
             iterations=scene.iterations, k=k, power=scene.power,
+            algo=scene.algo,
         )
         zr1 = np.asarray(zr1).ravel()[: remaining.size]
         zi1 = np.asarray(zi1).ravel()[: remaining.size]
@@ -1203,14 +1248,16 @@ def _fix_color_jit(scene, zr, zi, cnt, mask, zrF, ziF, cntF):
 
 @functools.partial(jax.jit, static_argnames=("iterations", "kpad", "n_refs",
                                              "height", "width", "chunk",
-                                             "julia", "use_pallas", "power"))
+                                             "julia", "use_pallas", "power",
+                                             "algo"))
 def _multiref_fallback_color_jit(scene, zr, zi, cnt, gl, orbits, Ps, n_stepss,
                                  *, iterations: int, kpad: int, n_refs: int,
                                  height: int, width: int,
                                  chunk: int = PERT_CHUNK_CPU,
                                  julia: bool = False,
                                  use_pallas: bool = False,
-                                 planes_list=None, power: int = 2):
+                                 planes_list=None, power: int = 2,
+                                 algo: str = "mandelbrot"):
     """Device-resident multi-reference glitch resolution for warm frames.
 
     The cold frame discovers the secondary reference pixels on the host
@@ -1254,7 +1301,8 @@ def _multiref_fallback_color_jit(scene, zr, zi, cnt, gl, orbits, Ps, n_stepss,
             rzr, rzi, rcnt, rgl = _perturb_tile(
                 xs.reshape(1, kpad), ys.reshape(1, kpad),
                 [Ps[r, i] for i in range(16)],
-                n_stepss[r], iterations, chunk, load_block, power=power)
+                n_stepss[r], iterations, chunk, load_block, power=power,
+                algo=algo)
         ok = rgl.ravel() == 0
         take = pending & (ok | (r == n_refs - 1))
         fzr = jnp.where(take, rzr.ravel(), fzr)
@@ -1349,6 +1397,7 @@ def iterate_perturb(scene, height: int, width: int, use_pallas: bool):
         jnp.asarray(orbit.packed), P, jnp.int32(orbit.n_steps),
         iterations=scene.iterations, height=height, width=width, chunk=chunk,
         power=scene.power if scene.algo == "multibrot" else 2,
+        algo=scene.algo,
     )
     zr, zi, cnt, n_glitch = _apply_fallback(
         scene, zr, zi, cnt, gl, width, height
@@ -1366,10 +1415,11 @@ PERT_BAND_ROWS = 256
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "chunk",
-                                             "bla_offsets", "power"))
+                                             "bla_offsets", "power",
+                                             "algo"))
 def _render_perturb_jit(scene, orbit, P, n_steps, *, height: int, width: int,
                         chunk: int, bla_packed=None, bla_offsets=None,
-                        power: int = 2):
+                        power: int = 2, algo: str = "mandelbrot"):
     """One fused device program: banded δ-orbit iteration → coloring →
     glitch count.  A tunneled TPU link pays ~0.3 s per dispatch, so the
     happy path (no glitches) must be exactly one program + two fetches."""
@@ -1386,7 +1436,7 @@ def _render_perturb_jit(scene, orbit, P, n_steps, *, height: int, width: int,
             orbit, p_local, n_steps,
             iterations=scene.iterations, height=band, width=width,
             chunk=chunk, bla_packed=bla_packed, bla_offsets=bla_offsets,
-            power=power,
+            power=power, algo=algo,
         )
 
     starts = jnp.arange(n_bands, dtype=jnp.int32) * band
@@ -1509,12 +1559,13 @@ def _perturb_setup(scene, fast: bool):
     the lane-replicated planes tuple on accelerators or the
     (packed orbit, bla_packed, bla_offsets) triple on CPU."""
     quad = scene.power == 2 and scene.algo in ("mandelbrot", "julia")
-    multi = scene.algo == "multibrot" and scene.power >= 2
-    if not (quad or multi):
+    other = (scene.algo in ("burningship", "tricorn")
+             or (scene.algo == "multibrot" and scene.power >= 2))
+    if not (quad or other):
         raise ValueError(
-            f"perturbation supports quadratic mandelbrot/julia and "
-            f"multibrot z^d+c, not {scene.algo} (power {scene.power}); "
-            f"use ds32/dd64")
+            f"perturbation supports quadratic mandelbrot/julia, multibrot "
+            f"z^d+c, burning ship, and tricorn — not {scene.algo} "
+            f"(power {scene.power}); use ds32/dd64")
     ss = scene.supersample
     h, w = scene.height * ss, scene.width * ss
     # multibrot runs the whole-image XLA program (the lane-replicated
@@ -1585,6 +1636,7 @@ def render_perturb(scene, fast: bool = False):
             height=h, width=w, chunk=chunk,
             bla_packed=bla_packed, bla_offsets=bla_offsets,
             power=scene.power if scene.algo == "multibrot" else 2,
+            algo=scene.algo,
         )
         if fast:
             return img
@@ -1639,6 +1691,7 @@ def render_perturb(scene, fast: bool = False):
                 use_pallas=on_accel and cached[3] is not None,
                 planes_list=cached[3],
                 power=scene.power if scene.algo == "multibrot" else 2,
+                algo=scene.algo,
             )
             if int(nres) == 0:
                 _cache_put(_MULTIREF_CACHE, view_key, cached)
@@ -1672,6 +1725,7 @@ def render_perturb(scene, fast: bool = False):
         use_pallas=on_accel and planes_list is not None,
         planes_list=planes_list,
         power=scene.power if scene.algo == "multibrot" else 2,
+        algo=scene.algo,
     )
     _cache_put(_FIX_CACHE, fkey, (gl != 0, zr2, zi2, cnt2),
                cap=_FIX_CACHE_MAX)
@@ -1716,15 +1770,17 @@ def _perturb_band_pallas_jit(scene, planes, P, n_steps, start, *, rows: int,
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "width", "chunk",
-                                             "bla_offsets", "power"))
+                                             "bla_offsets", "power",
+                                             "algo"))
 def _perturb_band_jnp_jit(scene, orbit, P, n_steps, start, *, rows: int,
                           width: int, chunk: int, bla_packed=None,
-                          bla_offsets=None, power: int = 2):
+                          bla_offsets=None, power: int = 2,
+                          algo: str = "mandelbrot"):
     p_local = P.at[7].set(start.astype(jnp.float32))
     return perturb_whole_jnp(
         orbit, p_local, n_steps, iterations=scene.iterations, height=rows,
         width=width, chunk=chunk, bla_packed=bla_packed,
-        bla_offsets=bla_offsets, power=power,
+        bla_offsets=bla_offsets, power=power, algo=algo,
     )
 
 
@@ -1759,6 +1815,7 @@ def render_perturb_band(scene, start_row: int, rows: int,
                    else PERT_CHUNK_CPU),
             bla_packed=bla_packed, bla_offsets=bla_offsets,
             power=scene.power if scene.algo == "multibrot" else 2,
+            algo=scene.algo,
         )
     if not fast:
         zr, zi, cnt, _ = _apply_fallback(scene, zr, zi, cnt, gl, w, rows,

@@ -62,6 +62,7 @@ def resolve_precision(scene: Scene) -> str:
         return "f32"
     if (
         ((scene.algo in ("mandelbrot", "julia") and scene.power == 2)
+         or scene.algo in ("burningship", "tricorn")
          or (scene.algo == "multibrot" and scene.power >= 2))
         and spacing <= PERTURB_SPACING_LIMIT
     ):
@@ -172,12 +173,13 @@ def _render_escape(scene: Scene, backend: str = "auto"):
     precision = resolve_precision(scene)
     if precision in ("perturb", "p32"):
         quad = scene.power == 2 and scene.algo in ("mandelbrot", "julia")
-        multi = scene.algo == "multibrot" and scene.power >= 2
-        if not (quad or multi):
+        other = (scene.algo in ("burningship", "tricorn")
+                 or (scene.algo == "multibrot" and scene.power >= 2))
+        if not (quad or other):
             raise ValueError(
-                f"perturbation supports quadratic mandelbrot/julia and "
-                f"multibrot z^d+c, not {scene.algo} (power {scene.power}); "
-                f"use ds32/dd64")
+                f"perturbation supports quadratic mandelbrot/julia, "
+                f"multibrot z^d+c, burning ship, and tricorn — not "
+                f"{scene.algo} (power {scene.power}); use ds32/dd64")
         from fractal_tpu.ops.perturb import render_perturb
 
         # p32 — the explicit fast tier: f32 δ-orbits against the exact

@@ -349,10 +349,10 @@ def test_p32_fast_tier_matches_perturb_on_clean_pixels():
     np.testing.assert_array_equal(fast[clean], exact[clean])
 
 
-def test_p32_requires_quadratic():
+def test_p32_requires_supported_rule():
     with pytest.raises(ValueError):
-        render_u8(Scene(algo="burningship", width=8, height=8,
-                        precision="p32"))
+        render_u8(Scene(algo="julia", power=3, julia_set=(-0.8, 0.156),
+                        width=8, height=8, precision="p32"))
 
 
 def test_p32_quality_envelope_vs_f64_oracle():
@@ -716,3 +716,125 @@ def test_multibrot_perturb_e2e_render():
                scale=(1e14, 1e14), inside=False)
     img = np.asarray(render_u8(sc))
     assert img.std() > 1.0  # structured, not monochrome
+
+
+# --- Burning ship & tricorn perturbation -----------------------------------
+
+
+@pytest.mark.parametrize("algo", ["burningship", "tricorn"])
+def test_bs_tricorn_perturb_beyond_f64_vs_mpmath(algo):
+    """Deep-zoom δ-recurrences for burning ship (diffabs imaginary part)
+    and tricorn (conjugate square) at 1e16×: on the real axis both maps
+    coincide with the quadratic needle (abs/conj are no-ops there), so the
+    c = −2 tip view has low, well-conditioned counts — sampled pixels must
+    match 45-digit mpmath exactly."""
+    import mpmath as mp
+
+    w, h = 16, 12
+    sc = Scene(algo=algo, width=w, height=h, iterations=300,
+               pos=(-2.0, 0.0), scale=(1e16, 1e16))
+    assert resolve_precision(sc) == "perturb"
+    _, _, cnt, _ = pt.iterate_perturb(sc, h, w, use_pallas=False)
+    cnt = np.asarray(cnt)
+    assert len(np.unique(cnt)) > 3
+    (Ar, Cr), (Ai, Ci) = pt._affine_fractions(w, h, pt.exact_pos(sc),
+                                              sc.scale)
+    step = pt._host_step(algo, 2)
+    checked = 0
+    with mp.workdps(45):
+        for x in range(0, w, 3):
+            for y in (0, 4, 6, 11):
+                cf, cif = Ar * x + Cr, Ai * y + Ci
+                z = mp.mpc(mp.mpf(cf.numerator) / cf.denominator,
+                           mp.mpf(cif.numerator) / cif.denominator)
+                c = z
+                truth = 300
+                for i in range(300):
+                    z = step(z, c)
+                    if (z.real * z.real + z.imag * z.imag) > 65536.0 ** 2:
+                        truth = i
+                        break
+                if truth < 250:  # well-conditioned only
+                    assert int(cnt[y, x]) == truth, (x, y, cnt[y, x], truth)
+                    checked += 1
+    assert checked >= 15
+
+
+def test_burningship_diffabs_recurrence_exact_f64():
+    """The diffabs δ-recurrence, run in f64, must track the direct f64
+    burning-ship iteration exactly through many axis crossings (the map is
+    only C⁰; any branch error diverges immediately).  This pins the
+    recurrence itself — the f32 kernel inherits the usual noise class."""
+    w = h = 12
+    sc = Scene(algo="burningship", width=w, height=h, iterations=400,
+               pos_str=("-0.45", "-0.829977217668251374661143257379"),
+               scale=(1e5, 1e5), precision="perturb", inside=False)
+    ref = (w // 2, h // 2)
+    orbit = pt.reference_orbit(sc, ref, w, h)
+    Z = orbit.packed[:, :2].astype(np.float64)
+    (Ar, Cr), (Ai, Ci) = pt._affine_fractions(w, h, pt.exact_pos(sc),
+                                              sc.scale)
+    c0r = float(Ar * ref[0] + Cr)
+    c0i = float(Ai * ref[1] + Ci)
+    # λ ≈ ln 2 per step: even pure-f64 rounding differences reach O(1) by
+    # ~50 steps, so the pointwise window is 40 steps — enough for several
+    # sign crossings of Z_r·Z_i (both diffabs branches must fire).
+    crossings = 0
+    for px, py in [(0, 0), (2, 3), (11, 11), (7, 1), (4, 9)]:
+        cr = float(Ar * px + Cr)
+        ci = float(Ai * py + Ci)
+        dcr, dci = cr - c0r, ci - c0i
+        zr, zi = cr, ci
+        dr, di = dcr, dci
+        last_sign = None
+        for n in range(min(orbit.n_steps, 40)):
+            a, b = abs(zr), abs(zi)
+            zr, zi = a * a - b * b + cr, 2 * a * b + ci
+            Zr, Zi = Z[n]
+            ndr = (2 * Zr + dr) * dr - (2 * Zi + di) * di + dcr
+            X = Zr * Zi
+            x = Zr * di + Zi * dr + dr * di
+            s = X + x
+            if X >= 0:
+                dab = x if s >= 0 else -(2 * X + x)
+            else:
+                dab = -x if s <= 0 else 2 * X + x
+            if last_sign is not None and (X >= 0) != last_sign:
+                crossings += 1
+            last_sign = X >= 0
+            dr, di = ndr, 2 * dab + dci
+            # reconstruct and compare against the direct walk (tolerance
+            # follows the f32-orbit noise floor amplified by 2^n)
+            tol = 1e-7 * (2.0 ** (n / 2.0))
+            rzr, rzi = Z[n + 1][0] + dr, Z[n + 1][1] + di
+            assert abs(rzr - zr) < tol, (px, py, n, rzr, zr)
+            assert abs(rzi - zi) < tol, (px, py, n, rzi, zi)
+            if zr * zr + zi * zi > float(sc.limit) ** 2:
+                break
+    assert crossings >= 10  # the window truly exercises the fold branches
+
+
+def test_tricorn_perturb_vs_f64_midzoom():
+    """Tricorn δ-orbits at a bisected boundary view: full agreement with
+    the f64 oracle (measured 100 %, with the glitch fallback resolving the
+    symmetric-axis pixels)."""
+    sc = Scene(algo="tricorn", width=48, height=36, iterations=800,
+               pos_str=("0.268365245537282474021542748732",
+                        "0.268365245537282474021542748732"),
+               scale=(1e5, 1e5), precision="perturb", inside=False)
+    _, _, cnt, _ = pt.iterate_perturb(sc, 36, 48, use_pallas=False)
+    cnt = np.asarray(cnt)
+    c64 = _oracle_counts_f64(sc, 48, 36)
+    assert (cnt == c64).mean() > 0.99
+    assert len(np.unique(c64)) > 50  # discriminative view
+
+
+def test_burningship_deep_e2e_render():
+    """Structured burning-ship render at 1e15× through render_u8 (1101
+    distinct counts measured at this bisected-boundary view)."""
+    sc = Scene(algo="burningship", width=48, height=36, iterations=3000,
+               pos_str=("-0.45", "-0.829977217668251374661143257379"),
+               scale=(1e15, 1e15), inside=False)
+    assert resolve_precision(sc) == "perturb"
+    img = np.asarray(render_u8(sc))
+    assert img.std() > 1.0

@@ -142,13 +142,14 @@ def test_tiled_p32_fast_tier_bands(tmp_path):
     np.testing.assert_array_equal(banded, one)
 
 
-def test_tiled_perturbation_rejects_nonquadratic(tmp_path):
-    """An explicit perturbation precision on an unsupported algo must raise
-    on the banded path exactly like the one-shot path (the δ-orbit math is
-    hard-coded to z²+c) — not silently render garbage."""
-    scene = Scene(algo="burningship", width=16, height=12, iterations=50,
-                  pos=(-0.45, -0.5), scale=(0.8, 0.8), precision="p32")
-    with pytest.raises(ValueError, match="quadratic"):
+def test_tiled_perturbation_rejects_unsupported_rule(tmp_path):
+    """An explicit perturbation precision on an algo with no δ-recurrence
+    (julia is quadratic-only) must raise on the banded path exactly like
+    the one-shot path — not silently render garbage."""
+    scene = Scene(algo="julia", power=3, julia_set=(-0.8, 0.156), width=16,
+                  height=12, iterations=50, scale=(0.8, 0.8),
+                  precision="p32")
+    with pytest.raises(ValueError, match="perturbation supports"):
         render_tiled(scene, 8, str(tmp_path / "ck"))
-    with pytest.raises(ValueError, match="quadratic"):
+    with pytest.raises(ValueError, match="perturbation supports"):
         render_tiled(scene, 8, None)  # one-shot fall-through path too
