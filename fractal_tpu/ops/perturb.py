@@ -741,7 +741,8 @@ def perturb_whole_jnp(orbit, P, n_steps, *, iterations: int, height: int,
         return jax.lax.dynamic_slice(orbit, (start, jnp.int32(0)), (chunk, 8))
 
     if bla_packed is not None:
-        assert power == 2, "BLA tables are quadratic-only"
+        assert power == 2 and algo in ("mandelbrot", "julia"), \
+            "BLA tables linearize the quadratic z²+c recurrence only"
         return _perturb_tile_bla(xx, yy, P, n_steps, iterations, chunk,
                                  load_block, bla_packed, bla_offsets,
                                  BLA_MIN_LEVEL)
@@ -1578,11 +1579,14 @@ def _perturb_setup(scene, fast: bool):
         dev = _planes_for(scene, orbit, ref_px, w, h, fast)
     else:
         packed = _packed_for(scene, orbit, ref_px, w, h, fast)
-        if scene.power == 2:
+        if quad:
             bla_packed, bla_offsets = _bla_dev_for(scene, orbit, ref_px,
                                                    w, h)
         else:
-            bla_packed, bla_offsets = None, None  # BLA is quadratic-only
+            # BLA linearizes the QUADRATIC recurrence only — a bilinear
+            # skip applied to burning ship/tricorn/multibrot corrupts
+            # counts (the fold/conjugate/binomial terms are not bilinear)
+            bla_packed, bla_offsets = None, None
         dev = (packed, bla_packed, bla_offsets)
     return h, w, on_accel, ref_px, orbit, P, ns, dev
 

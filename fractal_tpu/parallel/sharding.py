@@ -148,9 +148,11 @@ def render_escape_sharded(scene: Scene, mesh: Optional[Mesh] = None,
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "h", "w",
-                                             "use_pallas", "mesh"))
+                                             "use_pallas", "mesh", "power",
+                                             "algo"))
 def _perturb_sharded_jit(orbit, P, ns, iterations: int, h: int, w: int,
-                         use_pallas: bool, mesh: Mesh):
+                         use_pallas: bool, mesh: Mesh, power: int = 2,
+                         algo: str = "mandelbrot"):
     from fractal_tpu.ops.perturb import (
         PERT_CHUNK, PERT_CHUNK_CPU, perturb_whole_jnp,
     )
@@ -165,7 +167,8 @@ def _perturb_sharded_jit(orbit, P, ns, iterations: int, h: int, w: int,
         return perturb_whole_jnp(
             orbit, p_local, ns[0], iterations=iterations,
             height=rows_local, width=w,
-            chunk=PERT_CHUNK if use_pallas else PERT_CHUNK_CPU)
+            chunk=PERT_CHUNK if use_pallas else PERT_CHUNK_CPU,
+            power=power, algo=algo)
 
     zr, zi, cnt, gl = shard_map(
         local_stripe, mesh=mesh,
@@ -212,6 +215,8 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None):
     zr, zi, cnt, gl = _perturb_sharded_jit(
         jnp.asarray(orbit.packed), P, ns, scene.iterations, h, w,
         use_pallas, mesh,
+        power=scene.power if scene.algo == "multibrot" else 2,
+        algo=scene.algo,
     )
     zr, zi, cnt, _ = _apply_fallback(scene, zr, zi, cnt, gl, w, h)
     return _color_and_downsample(scene, zr, zi, cnt)

@@ -100,6 +100,31 @@ def test_perturb_sharded_matches_single_device(mesh):
     np.testing.assert_array_equal(sharded, single)
 
 
+def test_perturb_sharded_multibrot_bs_match_single_device(mesh):
+    """The generalized δ-recurrences (multibrot binomial, burning-ship
+    diffabs) must shard identically: row-interleaved stripes equal the
+    single-device render bit-for-bit."""
+    from fractal_tpu.parallel.sharding import render_perturb_sharded
+
+    for scene in (
+        Scene(algo="multibrot", power=3, width=48, height=36,
+              iterations=400,
+              pos=(0.44304637997136528, 0.55830853647684602),
+              scale=(1e14, 1e14), precision="perturb"),
+        # center nudged a hair INSIDE the set so the primary reference
+        # survives the budget — with a short (escaped) primary nearly every
+        # pixel goes through the multiref fallback, whose secondary choice
+        # is legitimately run-order-dependent (documented), breaking the
+        # bit-equality this test is about
+        Scene(algo="burningship", width=48, height=36, iterations=400,
+              pos_str=("-0.45", "-0.8299772176682513"),
+              scale=(1e14, 1e14), precision="perturb"),
+    ):
+        single = np.asarray(render_u8(scene))
+        sharded = np.asarray(render_perturb_sharded(scene, mesh))
+        np.testing.assert_array_equal(sharded, single)
+
+
 def test_multihost_helpers_single_process():
     from fractal_tpu.parallel import multihost
 
