@@ -63,6 +63,17 @@ PERT_CHUNK_CPU = 16
 # (pixel spacing < ~1e-13 ⇒ orbit must resolve finer structure).
 F64_ORBIT_SPACING_LIMIT = 1e-13
 
+# Below this spacing the per-pixel δ quantities leave f32's exponent range
+# (TPU flushes subnormals near 1e-38; keep margin for the affine gain and
+# early δz² products) and the δ-orbit switches to the floatexp tile
+# (ops/floatexp.py): f32-grade mantissas with 32-bit exponents — zoom
+# depth is then bounded only by the f64 host affine (≈1e300).
+EXTREME_SPACING_LIMIT = 1e-30
+
+
+def _is_extreme(scene) -> bool:
+    return scene.pixel_spacing / scene.supersample < EXTREME_SPACING_LIMIT
+
 
 # ---------------------------------------------------------------------------
 # Host side: exact viewport rationals + high-precision reference orbit
@@ -696,6 +707,117 @@ def _pert_params(scene, ref_px, width: int, height: int, orbit=None):
     )
 
 
+def _frexp_fraction(fr):
+    """Exact frexp of a Fraction of ANY magnitude: (m, e) with value =
+    m·2^e and |m| ∈ [0.5, 1) — float(Fraction) overflows/underflows past
+    ~1e±308, this never does."""
+    if fr == 0:
+        return 0.0, 0
+    e = abs(fr.numerator).bit_length() - fr.denominator.bit_length() + 1
+    val = fr / (Fraction(2) ** e)
+    if abs(val) < Fraction(1, 2):
+        val, e = val * 2, e - 1
+    elif abs(val) >= 1:
+        val, e = val / 2, e + 1
+    return float(val), e
+
+
+def _pert_params_fe(scene, ref_px, width: int, height: int):
+    """Parameter vector for the extreme-depth floatexp tile.  Same 16-slot
+    f32 layout as ``_pert_params`` where shared (u0/v0/limit²/dc_gain/row
+    stride+offset in [2:8]), but the affine gains ride as floatexp pairs:
+    [0]=Ar_m, [1]=Ai_m, [8]=Ar_e, [9]=Ai_e (exponents are exact small
+    integers in f32).  No SA slots — the series walk is f64-bound."""
+    (Ar, _), (Ai, _) = _affine_fractions(width, height, exact_pos(scene),
+                                         scene.scale)
+    arm, are = _frexp_fraction(Ar)
+    aim, aie = _frexp_fraction(Ai)
+    dc_gain = 0.0 if scene.algo == "julia" else 1.0
+    return jnp.asarray(
+        [arm, aim, float(ref_px[0]), float(ref_px[1]),
+         float(scene.limit) ** 2, dc_gain, 1.0, 0.0,
+         float(are), float(aie), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        jnp.float32,
+    )
+
+
+def _perturb_tile_fe(xx, yy, P, n_steps, iterations: int, chunk: int,
+                     load_block):
+    """Extreme-depth δ-orbit tile: the quadratic recurrence in floatexp
+    arithmetic (see ops/floatexp.py and EXTREME_SPACING_LIMIT).  Same
+    contract as ``_perturb_tile``; quadratic mandelbrot/julia only."""
+    from fractal_tpu.ops import floatexp as fx
+
+    f32 = jnp.float32
+    u0, v0, limit_sq, gain = P[2], P[3], P[4], P[5]
+    Ar = (P[0] * jnp.ones_like(xx), jnp.full(xx.shape, P[8], f32).astype(jnp.int32))
+    Ai = (P[1] * jnp.ones_like(xx), jnp.full(xx.shape, P[9], f32).astype(jnp.int32))
+    dcr = fx.mul(fx.fe(xx - u0), Ar)
+    dci = fx.mul(fx.fe(yy - v0), Ai)
+    # julia folds δc into δz₀ only (dc_gain 0 must be a TRUE zero)
+    dcr_g = (dcr[0] * gain, jnp.where(gain == 0.0, fx.E_ZERO, dcr[1]))
+    dci_g = (dci[0] * gain, jnp.where(gain == 0.0, fx.E_ZERO, dci[1]))
+
+    block0 = load_block(jnp.int32(0))
+    dzr0, dzi0 = dcr, dci
+    zfr0 = block0[0, 0] + fx.to_float(dzr0)
+    zfi0 = block0[0, 1] + fx.to_float(dzi0)
+    cnt0 = jnp.zeros(xx.shape, jnp.int32)
+    gl0 = jnp.zeros(xx.shape, jnp.int32)
+
+    n_chunks = _cdiv(max(iterations, 1), chunk)
+
+    def _active(zfr, zfi, cnt, gl, n):
+        return ((zfr * zfr + zfi * zfi <= limit_sq) & (cnt == n) & (gl == 0))
+
+    def one_step(n, row, state):
+        (dzr, dzi, zfr, zfi, cnt, gl) = state
+        live = _active(zfr, zfi, cnt, gl, n) & (n < n_steps)
+        Zr, Zi, Zr1, Zi1, gtol = row[0], row[1], row[2], row[3], row[4]
+        tr = fx.add(fx.fe(2.0 * Zr + jnp.zeros_like(zfr)), dzr)
+        ti = fx.add(fx.fe(2.0 * Zi + jnp.zeros_like(zfi)), dzi)
+        pr, pi = fx.cmul(tr, ti, dzr, dzi)
+        ndzr = fx.add(pr, dcr_g)
+        ndzi = fx.add(pi, dci_g)
+        nzfr = Zr1 + fx.to_float(ndzr)
+        nzfi = Zi1 + fx.to_float(ndzi)
+        d = nzfr * nzfr + nzfi * nzfi
+        esc_now = d > limit_sq
+        gl_now = live & (~esc_now) & (d < gtol)
+        dzr = (jnp.where(live, ndzr[0], dzr[0]),
+               jnp.where(live, ndzr[1], dzr[1]))
+        dzi = (jnp.where(live, ndzi[0], dzi[0]),
+               jnp.where(live, ndzi[1], dzi[1]))
+        zfr = jnp.where(live, nzfr, zfr)
+        zfi = jnp.where(live, nzfi, zfi)
+        cnt = cnt + (live & ~esc_now & ~gl_now)
+        gl = gl | gl_now.astype(jnp.int32)
+        return (dzr, dzi, zfr, zfi, cnt, gl)
+
+    def chunk_body(carry):
+        state, k = carry
+        n0 = k * chunk
+        block = load_block(n0)
+        for i in range(chunk):
+            row = [block[i, j] for j in range(5)]
+            state = one_step(n0 + i, row, state)
+        return state, k + 1
+
+    def chunk_cond(carry):
+        (dzr, dzi, zfr, zfi, cnt, gl), k = carry
+        n = k * chunk
+        return ((k < n_chunks) & (n < n_steps)
+                & jnp.any(_active(zfr, zfi, cnt, gl, n)))
+
+    state0 = (dzr0, dzi0, zfr0, zfi0, cnt0, gl0)
+    (dzr, dzi, zfr, zfi, cnt, gl), _ = jax.lax.while_loop(
+        chunk_cond, chunk_body, (state0, jnp.int32(0)))
+    ran_out = ((zfr * zfr + zfi * zfi <= limit_sq)
+               & (cnt >= n_steps) & (n_steps < iterations))
+    gl = gl | ran_out.astype(jnp.int32)
+    return zfr, zfi, cnt, gl
+
+
 def _series_init(P, dcr, dci):
     """Per-pixel series start: (δz_r, δz_i, n_skip) from P's SA slots.
     Complex Horner: δz = ((C'u + B')u + A')·u, u = δc·P[15]."""
@@ -716,11 +838,11 @@ BLA_MIN_LEVEL = 6  # smallest stored skip = 64 = PERT_CHUNK, so skips always
 
 @functools.partial(jax.jit, static_argnames=("iterations", "height", "width",
                                              "chunk", "bla_offsets", "power",
-                                             "algo"))
+                                             "algo", "extreme"))
 def perturb_whole_jnp(orbit, P, n_steps, *, iterations: int, height: int,
                       width: int, chunk: int = PERT_CHUNK_CPU,
                       bla_packed=None, bla_offsets=None, power: int = 2,
-                      algo: str = "mandelbrot"):
+                      algo: str = "mandelbrot", extreme: bool = False):
     """Whole-image XLA program for the δ-orbit iteration.
 
     This is the production TPU path, not just an oracle: measured 4× faster
@@ -740,6 +862,20 @@ def perturb_whole_jnp(orbit, P, n_steps, *, iterations: int, height: int,
         start = jnp.minimum(n0, jnp.int32(rows - chunk))
         return jax.lax.dynamic_slice(orbit, (start, jnp.int32(0)), (chunk, 8))
 
+    if extreme:
+        assert power == 2 and algo in ("mandelbrot", "julia"), \
+            "the extreme-depth floatexp tile is quadratic-only"
+        # shallow unroll: the ~100-op floatexp step body hits XLA:CPU's
+        # slow-compile pathology at the plain tile's chunk depths
+        fe_chunk = min(chunk, 4)
+
+        def load_block_fe(n0):
+            start = jnp.minimum(n0, jnp.int32(rows - fe_chunk))
+            return jax.lax.dynamic_slice(orbit, (start, jnp.int32(0)),
+                                         (fe_chunk, 8))
+
+        return _perturb_tile_fe(xx, yy, P, n_steps, iterations, fe_chunk,
+                                load_block_fe)
     if bla_packed is not None:
         assert power == 2 and algo in ("mandelbrot", "julia"), \
             "BLA tables linearize the quadratic z²+c recurrence only"
@@ -1083,10 +1219,11 @@ DS32_FALLBACK_SPACING_LIMIT = 1e-13
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "k", "chunk",
-                                             "power", "algo"))
+                                             "power", "algo", "extreme"))
 def _pert_fallback_1d_jit(orbit, P, n_steps, xs, ys, *, iterations: int,
                           k: int, chunk: int = PERT_CHUNK_CPU,
-                          power: int = 2, algo: str = "mandelbrot"):
+                          power: int = 2, algo: str = "mandelbrot",
+                          extreme: bool = False):
     """δ-orbit iteration of an arbitrary 1-D pixel list against a
     (secondary) reference orbit — the re-render pass of multi-reference
     perturbation."""
@@ -1096,6 +1233,17 @@ def _pert_fallback_1d_jit(orbit, P, n_steps, xs, ys, *, iterations: int,
         start = jnp.minimum(n0, jnp.int32(rows - chunk))
         return jax.lax.dynamic_slice(orbit, (start, jnp.int32(0)), (chunk, 8))
 
+    if extreme:
+        fe_chunk = min(chunk, 4)  # shallow unroll: XLA:CPU slow-compile
+
+        def load_block_fe(n0):
+            start = jnp.minimum(n0, jnp.int32(rows - fe_chunk))
+            return jax.lax.dynamic_slice(orbit, (start, jnp.int32(0)),
+                                         (fe_chunk, 8))
+
+        return _perturb_tile_fe(xs.reshape(1, k), ys.reshape(1, k), P,
+                                n_steps, iterations, fe_chunk,
+                                load_block_fe)
     return _perturb_tile(xs.reshape(1, k), ys.reshape(1, k), P, n_steps,
                          iterations, chunk, load_block, power=power,
                          algo=algo)
@@ -1196,7 +1344,9 @@ def _multiref_resolve(scene, idx, width: int, height: int, max_refs: int = 4,
             orbit = reference_orbit(scene, ref, width, height)
             medoid_rounds += 1
             walked = True
-        P = _pert_params(scene, ref, width, height)
+        P = (_pert_params_fe(scene, ref, width, height)
+             if _is_extreme(scene) else
+             _pert_params(scene, ref, width, height))
         k = 1 << max(7, (remaining.size - 1).bit_length())
         xs_p = np.full(k, float(width), np.float32)   # pad off-image: escapes
         ys_p = np.full(k, float(height), np.float32)
@@ -1206,7 +1356,7 @@ def _multiref_resolve(scene, idx, width: int, height: int, max_refs: int = 4,
             jnp.asarray(orbit.packed), P, jnp.int32(orbit.n_steps),
             jnp.asarray(xs_p), jnp.asarray(ys_p),
             iterations=scene.iterations, k=k, power=scene.power,
-            algo=scene.algo,
+            algo=scene.algo, extreme=_is_extreme(scene),
         )
         zr1 = np.asarray(zr1).ravel()[: remaining.size]
         zi1 = np.asarray(zi1).ravel()[: remaining.size]
@@ -1250,7 +1400,7 @@ def _fix_color_jit(scene, zr, zi, cnt, mask, zrF, ziF, cntF):
 @functools.partial(jax.jit, static_argnames=("iterations", "kpad", "n_refs",
                                              "height", "width", "chunk",
                                              "julia", "use_pallas", "power",
-                                             "algo"))
+                                             "algo", "extreme"))
 def _multiref_fallback_color_jit(scene, zr, zi, cnt, gl, orbits, Ps, n_stepss,
                                  *, iterations: int, kpad: int, n_refs: int,
                                  height: int, width: int,
@@ -1258,7 +1408,8 @@ def _multiref_fallback_color_jit(scene, zr, zi, cnt, gl, orbits, Ps, n_stepss,
                                  julia: bool = False,
                                  use_pallas: bool = False,
                                  planes_list=None, power: int = 2,
-                                 algo: str = "mandelbrot"):
+                                 algo: str = "mandelbrot",
+                                 extreme: bool = False):
     """Device-resident multi-reference glitch resolution for warm frames.
 
     The cold frame discovers the secondary reference pixels on the host
@@ -1299,11 +1450,23 @@ def _multiref_fallback_color_jit(scene, zr, zi, cnt, gl, orbits, Ps, n_stepss,
                 return jax.lax.dynamic_slice(orbit, (start, jnp.int32(0)),
                                              (chunk, 8))
 
-            rzr, rzi, rcnt, rgl = _perturb_tile(
-                xs.reshape(1, kpad), ys.reshape(1, kpad),
-                [Ps[r, i] for i in range(16)],
-                n_stepss[r], iterations, chunk, load_block, power=power,
-                algo=algo)
+            Pr = [Ps[r, i] for i in range(16)]
+            if extreme:
+                fe_chunk = min(chunk, 4)
+
+                def load_block_fe(n0, orbit=orbit):
+                    start = jnp.minimum(n0, jnp.int32(rows - fe_chunk))
+                    return jax.lax.dynamic_slice(
+                        orbit, (start, jnp.int32(0)), (fe_chunk, 8))
+
+                rzr, rzi, rcnt, rgl = _perturb_tile_fe(
+                    xs.reshape(1, kpad), ys.reshape(1, kpad), Pr,
+                    n_stepss[r], iterations, fe_chunk, load_block_fe)
+            else:
+                rzr, rzi, rcnt, rgl = _perturb_tile(
+                    xs.reshape(1, kpad), ys.reshape(1, kpad), Pr,
+                    n_stepss[r], iterations, chunk, load_block,
+                    power=power, algo=algo)
         ok = rgl.ravel() == 0
         take = pending & (ok | (r == n_refs - 1))
         fzr = jnp.where(take, rzr.ravel(), fzr)
@@ -1389,7 +1552,8 @@ def iterate_perturb(scene, height: int, width: int, use_pallas: bool):
     """(zr, zi, cnt) for a scene via perturbation + exact glitch fallback."""
     ref_px = choose_reference(scene, width, height)
     orbit = reference_orbit(scene, ref_px, width, height)
-    P = _pert_params(scene, ref_px, width, height, orbit=orbit)
+    P = (_pert_params_fe(scene, ref_px, width, height) if _is_extreme(scene)
+         else _pert_params(scene, ref_px, width, height, orbit=orbit))
     # use_pallas here means "on an accelerator": the XLA twin is the faster
     # program on TPU too (see perturb_whole_jnp docstring) — it only decides
     # the chunk depth.
@@ -1398,7 +1562,7 @@ def iterate_perturb(scene, height: int, width: int, use_pallas: bool):
         jnp.asarray(orbit.packed), P, jnp.int32(orbit.n_steps),
         iterations=scene.iterations, height=height, width=width, chunk=chunk,
         power=scene.power if scene.algo == "multibrot" else 2,
-        algo=scene.algo,
+        algo=scene.algo, extreme=_is_extreme(scene),
     )
     zr, zi, cnt, n_glitch = _apply_fallback(
         scene, zr, zi, cnt, gl, width, height
@@ -1417,10 +1581,11 @@ PERT_BAND_ROWS = 256
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "chunk",
                                              "bla_offsets", "power",
-                                             "algo"))
+                                             "algo", "extreme"))
 def _render_perturb_jit(scene, orbit, P, n_steps, *, height: int, width: int,
                         chunk: int, bla_packed=None, bla_offsets=None,
-                        power: int = 2, algo: str = "mandelbrot"):
+                        power: int = 2, algo: str = "mandelbrot",
+                        extreme: bool = False):
     """One fused device program: banded δ-orbit iteration → coloring →
     glitch count.  A tunneled TPU link pays ~0.3 s per dispatch, so the
     happy path (no glitches) must be exactly one program + two fetches."""
@@ -1437,7 +1602,7 @@ def _render_perturb_jit(scene, orbit, P, n_steps, *, height: int, width: int,
             orbit, p_local, n_steps,
             iterations=scene.iterations, height=band, width=width,
             chunk=chunk, bla_packed=bla_packed, bla_offsets=bla_offsets,
-            power=power, algo=algo,
+            power=power, algo=algo, extreme=extreme,
         )
 
     starts = jnp.arange(n_bands, dtype=jnp.int32) * band
@@ -1567,25 +1732,31 @@ def _perturb_setup(scene, fast: bool):
             f"perturbation supports quadratic mandelbrot/julia, multibrot "
             f"z^d+c, burning ship, and tricorn — not {scene.algo} "
             f"(power {scene.power}); use ds32/dd64")
+    extreme = _is_extreme(scene)
+    if extreme and not quad:
+        raise ValueError(
+            f"zooms past ~1e30× (floatexp δ-orbits) support quadratic "
+            f"mandelbrot/julia only, not {scene.algo}")
     ss = scene.supersample
     h, w = scene.height * ss, scene.width * ss
-    # multibrot runs the whole-image XLA program (the lane-replicated
-    # Pallas planes encode the quadratic 2Z coefficient only)
-    on_accel = quad and jax.default_backend() not in ("cpu",)
+    # multibrot/extreme run the whole-image XLA program (the lane-
+    # replicated Pallas planes encode the plain-f32 quadratic form only)
+    on_accel = quad and not extreme and jax.default_backend() not in ("cpu",)
     ref_px, orbit = resolve_reference(scene, w, h)
-    P = _pert_params(scene, ref_px, w, h, orbit=orbit)
+    P = (_pert_params_fe(scene, ref_px, w, h) if extreme
+         else _pert_params(scene, ref_px, w, h, orbit=orbit))
     ns = jnp.int32(orbit.n_steps)
     if on_accel:
         dev = _planes_for(scene, orbit, ref_px, w, h, fast)
     else:
         packed = _packed_for(scene, orbit, ref_px, w, h, fast)
-        if quad:
+        if quad and not extreme:
             bla_packed, bla_offsets = _bla_dev_for(scene, orbit, ref_px,
                                                    w, h)
         else:
-            # BLA linearizes the QUADRATIC recurrence only — a bilinear
-            # skip applied to burning ship/tricorn/multibrot corrupts
-            # counts (the fold/conjugate/binomial terms are not bilinear)
+            # BLA linearizes the plain-f32 QUADRATIC recurrence only — a
+            # bilinear skip corrupts counts for the fold/conjugate/
+            # binomial recurrences, and its radii are f32-bound
             bla_packed, bla_offsets = None, None
         dev = (packed, bla_packed, bla_offsets)
     return h, w, on_accel, ref_px, orbit, P, ns, dev
@@ -1640,7 +1811,7 @@ def render_perturb(scene, fast: bool = False):
             height=h, width=w, chunk=chunk,
             bla_packed=bla_packed, bla_offsets=bla_offsets,
             power=scene.power if scene.algo == "multibrot" else 2,
-            algo=scene.algo,
+            algo=scene.algo, extreme=_is_extreme(scene),
         )
         if fast:
             return img
@@ -1695,7 +1866,7 @@ def render_perturb(scene, fast: bool = False):
                 use_pallas=on_accel and cached[3] is not None,
                 planes_list=cached[3],
                 power=scene.power if scene.algo == "multibrot" else 2,
-                algo=scene.algo,
+                algo=scene.algo, extreme=_is_extreme(scene),
             )
             if int(nres) == 0:
                 _cache_put(_MULTIREF_CACHE, view_key, cached)
@@ -1729,7 +1900,7 @@ def render_perturb(scene, fast: bool = False):
         use_pallas=on_accel and planes_list is not None,
         planes_list=planes_list,
         power=scene.power if scene.algo == "multibrot" else 2,
-        algo=scene.algo,
+        algo=scene.algo, extreme=_is_extreme(scene),
     )
     _cache_put(_FIX_CACHE, fkey, (gl != 0, zr2, zi2, cnt2),
                cap=_FIX_CACHE_MAX)
@@ -1740,9 +1911,10 @@ def _refs_device_pack(scene, refs, w, h, on_accel):
     """(orbits, Ps, n_stepss, planes_list) device pack for the multiref
     program from (ref_px, orbit) pairs."""
     orbs = [_sliced_orbit(o, scene.iterations) for _, o in refs]
+    pp = (_pert_params_fe if _is_extreme(scene) else _pert_params)
     return (
         jnp.asarray(np.stack([o.packed for o in orbs])),
-        jnp.stack([_pert_params(scene, r, w, h) for r, _ in refs]),
+        jnp.stack([pp(scene, r, w, h) for r, _ in refs]),
         jnp.asarray(np.array([o.n_steps for o in orbs], np.int32)),
         tuple(_planes_for(scene, o, r, w, h, False)
               for r, o in zip((r for r, _ in refs), orbs))
@@ -1775,16 +1947,16 @@ def _perturb_band_pallas_jit(scene, planes, P, n_steps, start, *, rows: int,
 
 @functools.partial(jax.jit, static_argnames=("rows", "width", "chunk",
                                              "bla_offsets", "power",
-                                             "algo"))
+                                             "algo", "extreme"))
 def _perturb_band_jnp_jit(scene, orbit, P, n_steps, start, *, rows: int,
                           width: int, chunk: int, bla_packed=None,
                           bla_offsets=None, power: int = 2,
-                          algo: str = "mandelbrot"):
+                          algo: str = "mandelbrot", extreme: bool = False):
     p_local = P.at[7].set(start.astype(jnp.float32))
     return perturb_whole_jnp(
         orbit, p_local, n_steps, iterations=scene.iterations, height=rows,
         width=width, chunk=chunk, bla_packed=bla_packed,
-        bla_offsets=bla_offsets, power=power, algo=algo,
+        bla_offsets=bla_offsets, power=power, algo=algo, extreme=extreme,
     )
 
 
@@ -1819,7 +1991,7 @@ def render_perturb_band(scene, start_row: int, rows: int,
                    else PERT_CHUNK_CPU),
             bla_packed=bla_packed, bla_offsets=bla_offsets,
             power=scene.power if scene.algo == "multibrot" else 2,
-            algo=scene.algo,
+            algo=scene.algo, extreme=_is_extreme(scene),
         )
     if not fast:
         zr, zi, cnt, _ = _apply_fallback(scene, zr, zi, cnt, gl, w, rows,

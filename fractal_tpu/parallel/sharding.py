@@ -149,10 +149,10 @@ def render_escape_sharded(scene: Scene, mesh: Optional[Mesh] = None,
 
 @functools.partial(jax.jit, static_argnames=("iterations", "h", "w",
                                              "use_pallas", "mesh", "power",
-                                             "algo"))
+                                             "algo", "extreme"))
 def _perturb_sharded_jit(orbit, P, ns, iterations: int, h: int, w: int,
                          use_pallas: bool, mesh: Mesh, power: int = 2,
-                         algo: str = "mandelbrot"):
+                         algo: str = "mandelbrot", extreme: bool = False):
     from fractal_tpu.ops.perturb import (
         PERT_CHUNK, PERT_CHUNK_CPU, perturb_whole_jnp,
     )
@@ -168,7 +168,7 @@ def _perturb_sharded_jit(orbit, P, ns, iterations: int, h: int, w: int,
             orbit, p_local, ns[0], iterations=iterations,
             height=rows_local, width=w,
             chunk=PERT_CHUNK if use_pallas else PERT_CHUNK_CPU,
-            power=power, algo=algo)
+            power=power, algo=algo, extreme=extreme)
 
     zr, zi, cnt, gl = shard_map(
         local_stripe, mesh=mesh,
@@ -196,7 +196,8 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None):
     row stripe of f32 δ-orbits; the exact ds32 glitch fallback and the
     coloring epilogue run once on the gathered result."""
     from fractal_tpu.ops.perturb import (
-        _apply_fallback, _pert_params, resolve_reference,
+        _apply_fallback, _is_extreme, _pert_params, _pert_params_fe,
+        resolve_reference,
     )
     from fractal_tpu.render import _color_and_downsample
 
@@ -209,14 +210,15 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None):
     ref_px, orbit = resolve_reference(scene, w, h)
     # orbit= enables the series-approximation prefix skip; the scaled
     # coefficients are view-global, so interleaved row stripes share them
-    P = _pert_params(scene, ref_px, w, h, orbit=orbit)
+    P = (_pert_params_fe(scene, ref_px, w, h) if _is_extreme(scene)
+         else _pert_params(scene, ref_px, w, h, orbit=orbit))
     ns = jnp.asarray([orbit.n_steps], jnp.int32)
     use_pallas = jax.default_backend() not in ("cpu",)
     zr, zi, cnt, gl = _perturb_sharded_jit(
         jnp.asarray(orbit.packed), P, ns, scene.iterations, h, w,
         use_pallas, mesh,
         power=scene.power if scene.algo == "multibrot" else 2,
-        algo=scene.algo,
+        algo=scene.algo, extreme=_is_extreme(scene),
     )
     zr, zi, cnt, _ = _apply_fallback(scene, zr, zi, cnt, gl, w, h)
     return _color_and_downsample(scene, zr, zi, cnt)

@@ -838,3 +838,69 @@ def test_burningship_deep_e2e_render():
     assert resolve_precision(sc) == "perturb"
     img = np.asarray(render_u8(sc))
     assert img.std() > 1.0
+
+
+# --- Extreme depth (floatexp δ-orbits, past the f32-δc wall) ---------------
+
+
+@pytest.mark.parametrize("zoom", [1e40, 1e100])
+def test_extreme_depth_vs_mpmath(zoom):
+    """Past ~1e30× the δ quantities leave f32's exponent range and the
+    floatexp tile takes over (ops/floatexp.py).  Needle-tip views at 1e40×
+    and 1e100× must match mpmath (125 digits at 1e100) on every
+    well-conditioned pixel — about 70 orders of magnitude past the f64
+    wall that stalled the reference's GPU port."""
+    import mpmath as mp
+
+    w, h = 16, 12
+    sc = Scene(width=w, height=h, iterations=300,
+               pos_str=("-2.0", "0.0"), scale=(zoom, zoom))
+    assert resolve_precision(sc) == "perturb"
+    assert pt._is_extreme(sc)
+    _, _, cnt, _ = pt.iterate_perturb(sc, h, w, use_pallas=False)
+    cnt = np.asarray(cnt)
+    assert len(np.unique(cnt)) > 3
+    (Ar, Cr), (Ai, Ci) = pt._affine_fractions(w, h, pt.exact_pos(sc),
+                                              sc.scale)
+    checked = 0
+    with mp.workdps(int(math.log10(zoom)) + 25):
+        for x in range(0, w, 3):
+            for y in (0, 5, 11):
+                cf, cif = Ar * x + Cr, Ai * y + Ci
+                z = mp.mpc(mp.mpf(cf.numerator) / cf.denominator,
+                           mp.mpf(cif.numerator) / cif.denominator)
+                c = z
+                truth = 300
+                for i in range(300):
+                    z = z * z + c
+                    if (z.real * z.real + z.imag * z.imag) > 65536.0 ** 2:
+                        truth = i
+                        break
+                if truth < 250:
+                    assert int(cnt[y, x]) == truth, (x, y, cnt[y, x], truth)
+                    checked += 1
+    assert checked >= 12
+
+
+def test_extreme_depth_exact_centers_resolve():
+    """Two centers differing by ~1e-45 (29 orders below f64's ulp at |x|≈2)
+    must render different views at 1e44× — exact Fraction coordinates and
+    floatexp δc resolve sub-f64 structure end-to-end."""
+    # same (16, 12, 300) program shape as test_extreme_depth_vs_mpmath so
+    # the floatexp compile is shared within the test session
+    imgs = []
+    for tail in ("1", "2"):
+        sc = Scene(width=16, height=12, iterations=300,
+                   pos_str=("-1.99999999999999999999999999999999999999999999"
+                            + tail, "0.0"),
+                   scale=(1e44, 1e44))
+        assert pt._is_extreme(sc)
+        imgs.append(np.asarray(render_u8(sc)))
+    assert (imgs[0] != imgs[1]).any(), "sub-f64 center shift had no effect"
+
+
+def test_extreme_rejects_nonquadratic():
+    with pytest.raises(ValueError, match="1e30"):
+        render_u8(Scene(algo="burningship", width=8, height=8,
+                        iterations=50, pos_str=("-2.0", "0.0"),
+                        scale=(1e40, 1e40), precision="perturb"))
