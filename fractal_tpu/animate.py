@@ -178,6 +178,14 @@ def render_zoom_sweep(scene: Scene, scales: Sequence[float],
 
     if scene.algo not in ("mandelbrot", "julia") or scene.power != 2:
         raise ValueError("zoom sweeps support quadratic mandelbrot/julia only")
+    from fractal_tpu.ops.perturb import _is_extreme
+
+    deepest_probe = scene.replace(scale=(max(abs(float(s)) for s in scales),) * 2)
+    if _is_extreme(deepest_probe):
+        raise ValueError(
+            "zoom sweeps reach the floatexp depth regime (past ~1e30x); "
+            "the batched sweep's f32 viewport params cannot represent it — "
+            "render those frames individually")
     ss = scene.supersample
     h, w = scene.height * ss, scene.width * ss
     smax = max(float(s) for s in scales)

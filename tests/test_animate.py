@@ -97,3 +97,19 @@ def test_animate_cli_flags():
     assert o.animate == 4 and o.sweep == "zoom" and o.zoom_from is None
     with pytest.raises(SystemExit):
         parse_options("--animate 8 64 48".split())  # julia sweep needs -a julia
+
+
+def test_zoom_sweep_rejects_extreme_depth():
+    """Past ~1e30x the sweep's f32 viewport params underflow — must raise,
+    not render garbage frames (extreme stills go through the floatexp
+    tile instead)."""
+    import numpy as np
+    import pytest
+
+    from fractal_tpu.animate import render_zoom_sweep
+    from fractal_tpu.config import Scene
+
+    sc = Scene(width=16, height=12, iterations=100,
+               pos_str=("-2.0", "0.0"), scale=(1e40, 1e40))
+    with pytest.raises(ValueError, match="1e30"):
+        render_zoom_sweep(sc, np.geomspace(1.0, 1e40, 4))
