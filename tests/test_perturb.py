@@ -904,3 +904,12 @@ def test_extreme_rejects_nonquadratic():
         render_u8(Scene(algo="burningship", width=8, height=8,
                         iterations=50, pos_str=("-2.0", "0.0"),
                         scale=(1e40, 1e40), precision="perturb"))
+
+
+def test_extreme_depth_p32_fast_tier():
+    """The p32 fast tier composes with the floatexp regime (glitch
+    detection off, same fe tile): structured output at 1e40×."""
+    sc = Scene(width=16, height=12, iterations=300, pos_str=("-2.0", "0.0"),
+               scale=(1e40, 1e40), precision="p32")
+    img = np.asarray(render_u8(sc))
+    assert img.std() > 1.0
