@@ -102,6 +102,12 @@ def baseline_configs():
 
 
 def main():
+    # persistent XLA compile cache (same as the CLI): the harness compiles
+    # ~10 program shapes; a fresh process re-runs warm instead of paying
+    # several minutes of cold compiles through a tunneled TPU link
+    from fractal_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--backend", default="auto")
