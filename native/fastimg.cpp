@@ -134,6 +134,13 @@ const HeifApi &heif_api() {
     if (!h) h = dlopen("libheif.so", RTLD_NOW | RTLD_LOCAL);
     if (!h) return a;
     auto sym = [&](const char *name) { return dlsym(h, name); };
+    // ABI gate: the self-declared prototypes/enums above are the libheif 1.x
+    // public C ABI.  Probe the runtime version and refuse any other major —
+    // a mismatched future ABI must fail cleanly at LOAD (falling back to the
+    // Python encoder path), not misbehave at encode time.
+    auto get_version =
+        reinterpret_cast<uint32_t (*)(void)>(sym("heif_get_version_number"));
+    if (!get_version || (get_version() >> 24) != 1) return a;
 #define LOAD(field, name)                                                      \
   a.field = reinterpret_cast<decltype(a.field)>(sym(name));                    \
   if (!a.field) return a;

