@@ -130,10 +130,12 @@ def render_sweep(scenes: Sequence[Scene], device_resident: bool = False):
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "julia",
-                                             "on_accel", "treedef"))
+                                             "on_accel", "treedef",
+                                             "glitch"))
 def _zoom_sweep_jit(scene: Scene, leaves_batched, params_batched, planes,
                     orbit_packed, n_steps, treedef, *, height: int,
-                    width: int, julia: bool, on_accel: bool):
+                    width: int, julia: bool, on_accel: bool,
+                    glitch: bool = False):
     from fractal_tpu.ops.perturb import (
         PERT_CHUNK_CPU,
         perturb_pallas_v2,
@@ -145,29 +147,40 @@ def _zoom_sweep_jit(scene: Scene, leaves_batched, params_batched, planes,
         leaves, P = args
         sc = jax.tree_util.tree_unflatten(treedef, leaves)
         if on_accel:
-            zr, zi, cnt, _ = perturb_pallas_v2(
+            zr, zi, cnt, gl = perturb_pallas_v2(
                 planes, P, n_steps, iterations=scene.iterations,
-                height=height, width=width, julia=julia, glitch=False)
+                height=height, width=width, julia=julia, glitch=glitch)
         else:
-            zr, zi, cnt, _ = perturb_whole_jnp(
+            zr, zi, cnt, gl = perturb_whole_jnp(
                 orbit_packed, P, n_steps, iterations=scene.iterations,
                 height=height, width=width, chunk=PERT_CHUNK_CPU)
-        return _color_and_downsample(sc, zr, zi, cnt)
+        # per-frame flagged-pixel count: the exact sweep re-renders only
+        # the frames where it is non-zero (zero extra cost per frame)
+        return (_color_and_downsample(sc, zr, zi, cnt),
+                jnp.sum(gl, dtype=jnp.int32))
 
     return jax.lax.map(one_frame, (leaves_batched, params_batched))
 
 
 def render_zoom_sweep(scene: Scene, scales: Sequence[float],
-                      device_resident: bool = False):
+                      device_resident: bool = False, exact: bool = False):
     """Deep-zoom video: render ``scene`` at each zoom level in ``scales``
     (classic use: log-spaced 1e2 → 1e12) as ONE device program.
 
     The reference orbit is computed once at the DEEPEST frame — the view
     center's c is identical at every zoom level, so the same orbit serves
     all frames; only the per-frame viewport constants (δc gain) change.
-    Frames run the p32 quality envelope (f32 δ-orbits, no glitch fallback
-    — see PERF.md); at shallow zoom f32 is exact-grade anyway, and past
-    1e6× the classification stays >99.9 % with boundary texture noise.
+    By default frames run the p32 quality envelope (f32 δ-orbits, no
+    glitch fallback — see PERF.md); at shallow zoom f32 is exact-grade
+    anyway, and past 1e6× the classification stays >99.9 % with boundary
+    texture noise.
+
+    ``exact=True`` (VERDICT r2 weak 4) closes the sweep/still quality gap:
+    the batched pass runs glitch detection, and every frame that flags
+    pixels is replaced by its still render (``render_perturb`` — full
+    glitch fallback through the shared orbit/fix caches), so each output
+    frame equals the still render of that zoom level.  Cost: one extra
+    still render per glitched frame (typically only the deepest few).
     """
     from fractal_tpu.config import exact_pos
     from fractal_tpu.ops.perturb import (
@@ -206,10 +219,17 @@ def render_zoom_sweep(scene: Scene, scales: Sequence[float],
     _, treedef = jax.tree_util.tree_flatten(scene)
     leaves_batched = _batch_leaves(frames, treedef, jnp.float32)
     params_batched = jnp.stack([_pert_params(f, ref, w, h) for f in frames])
-    out = _zoom_sweep_jit(
+    out, glc = _zoom_sweep_jit(
         scene, leaves_batched, params_batched, planes,
         jnp.asarray(orbit.packed), jnp.int32(orbit.n_steps), treedef,
-        height=h, width=w, julia=scene.algo == "julia", on_accel=on_accel)
+        height=h, width=w, julia=scene.algo == "julia", on_accel=on_accel,
+        glitch=exact)
+    if exact:
+        from fractal_tpu.ops.perturb import render_perturb
+
+        for i in np.flatnonzero(np.asarray(glc)):
+            still = render_perturb(frames[int(i)], fast=False)
+            out = out.at[int(i)].set(still)
     if device_resident:
         return out
     return np.asarray(jax.device_get(out))

@@ -48,6 +48,7 @@ class Options:
     animate: int = 0          # frame count; 0 = still render
     sweep: str = "julia"      # julia | zoom
     zoom_from: float = None   # zoom sweep start scale (end is the scene's -s)
+    exact_sweep: bool = False # zoom sweep: still-quality frames (glitch fix)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -146,6 +147,11 @@ def build_parser() -> argparse.ArgumentParser:
     ext.add_argument("--zoom-from", dest="zoom_from", type=float, default=None,
                      help="Start scale for --sweep zoom (default: 0.4, the "
                           "whole-set view). The end scale is -s/--scale.")
+    ext.add_argument("--exact-sweep", dest="exact_sweep", action="store_true",
+                     help="Zoom sweeps only: render still-quality frames — "
+                          "frames with glitched pixels are re-rendered "
+                          "through the full exact fallback instead of the "
+                          "default fast (p32-grade) envelope.")
     ext.add_argument("--profile", action="store_true",
                      help="Print per-phase timing (kernel / transfer / encode).")
     ext.add_argument("--trace", default=None, metavar="DIR",
@@ -249,4 +255,5 @@ def parse_options(argv: Optional[List[str]] = None) -> Options:
         animate=args.animate,
         sweep=args.sweep,
         zoom_from=args.zoom_from,
+        exact_sweep=args.exact_sweep,
     )

@@ -113,3 +113,34 @@ def test_zoom_sweep_rejects_extreme_depth():
                pos_str=("-2.0", "0.0"), scale=(1e40, 1e40))
     with pytest.raises(ValueError, match="1e30"):
         render_zoom_sweep(sc, np.geomspace(1.0, 1e40, 4))
+
+
+def test_zoom_sweep_exact_frames_match_stills():
+    """VERDICT r2 weak 4: ``exact=True`` zoom sweeps must match still
+    quality — every frame equals the still render of that zoom level
+    bit-for-bit (glitched frames re-rendered through the full exact
+    fallback; clean frames already identical by the SA/BLA/banding
+    bit-stability contracts)."""
+    import numpy as np
+
+    from fractal_tpu.animate import render_zoom_sweep
+    from fractal_tpu.config import Scene
+    from fractal_tpu.ops.perturb import render_perturb
+
+    sc = Scene(width=96, height=72, iterations=1200,
+               pos=(-0.74364388703715871, 0.13182590420531198),
+               scale=(1e12, 1e12), inside=False)
+    scales = [1e6, 1e11, 1e12]
+    frames = render_zoom_sweep(sc, scales, exact=True)
+    for i, s in enumerate(scales):
+        still = np.asarray(render_perturb(
+            sc.replace(scale=(float(s), float(s))), fast=False))
+        np.testing.assert_array_equal(frames[i], still, err_msg=f"scale {s}")
+
+
+def test_exact_sweep_cli_flag_parses():
+    from fractal_tpu.cli import parse_options
+
+    o = parse_options("--animate 4 --sweep zoom --exact-sweep 32 24".split())
+    assert o.exact_sweep is True
+    assert parse_options("32 24".split()).exact_sweep is False
