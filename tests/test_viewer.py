@@ -155,3 +155,69 @@ def test_config_accepts_p32_fast_preview(server):
     scene["pos"] = [-0.6, 0.0]
     _post(server, "/config", scene)
     _drain(server, g1)               # queue empty before module teardown
+
+
+def test_pos_endpoint_exact_roundtrip_at_depth(server):
+    """VERDICT r2 missing 1: numeric pos/scale editing.  A typed 1e20×
+    center must round-trip EXACTLY (the strings become pos_str, not f64)."""
+    x = "-0.743643887037158704752191506114774"
+    y = "0.131825904205311970493132056385139"
+    out = _post(server, "/pos", {"x": x, "y": y, "scale": 1e20})
+    assert out["pos_str"] == [x, y]
+    assert out["scale"] == [1e20, 1e20]
+    # the exact strings survive a GET /scene round trip
+    again = json.loads(_get(server, "/scene")[1])
+    assert again["pos_str"] == [x, y]
+    # partial update: scale only, position untouched
+    out2 = _post(server, "/pos", {"scale": 0.4})
+    assert out2["scale"] == [0.4, 0.4] and out2["pos_str"] == [x, y]
+    # julia c numeric edit
+    out3 = _post(server, "/pos", {"julia": [-0.8, 0.156]})
+    assert out3["julia_set"] == [-0.8, 0.156]
+    # invalid strings are a clean 400, state unchanged
+    import urllib.error
+
+    req = rq.Request(server + "/pos",
+                     json.dumps({"x": "not-a-number", "y": "0"}).encode(),
+                     method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        rq.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+    assert json.loads(_get(server, "/scene")[1])["pos_str"] == [x, y]
+    # restore a cheap view and drain before teardown
+    g0 = int(_get(server, "/image")[0]["X-Gen"])
+    _post(server, "/pos", {"x": "-0.6", "y": "0.0", "scale": 0.4})
+    _drain(server, g0)
+
+
+def test_status_headers_tier_and_glitch(server):
+    """VERDICT r2 weak 6: the viewer must surface the resolved precision
+    tier (and glitch counts at depth) per frame."""
+    scene = json.loads(_get(server, "/scene")[1])
+    g0 = int(_get(server, "/image")[0]["X-Gen"])
+    scene.update(width=48, height=32, iterations=200, precision="auto",
+                 pos=[-0.74364388703715871, 0.13182590420531198],
+                 pos_str=None, scale=[1e15, 1e15])
+    _post(server, "/config", scene)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        h, png = _get(server, "/image")
+        # earlier queued renders may land first: wait for THIS config's tier
+        if (int(h["X-Gen"]) > g0 and png[:4] == b"\x89PNG"
+                and h["X-Tier"] == "perturb"):
+            break
+        time.sleep(0.5)
+    assert h["X-Tier"] == "perturb"
+    assert h["X-Glitch"].isdigit()  # exact tier tracks the glitch count
+    g1 = int(h["X-Gen"])
+    # shallow view resolves to f32 and reports no glitch field content
+    scene.update(scale=[0.4, 0.4], pos=[-0.6, 0.0], iterations=50)
+    _post(server, "/config", scene)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        h, png = _get(server, "/image")
+        if (int(h["X-Gen"]) > g1 and png[:4] == b"\x89PNG"
+                and h["X-Tier"] == "f32"):
+            break
+        time.sleep(0.5)
+    assert h["X-Tier"] == "f32" and h["X-Glitch"] == ""
