@@ -227,6 +227,40 @@ def _perturb_sharded_pallas_jit(planes, P, ns, iterations: int, h: int,
     return deint(zr), deint(zi), deint(cnt), deint(gl)
 
 
+@functools.partial(jax.jit, static_argnames=("iterations", "h", "w", "mesh",
+                                             "julia", "glitch", "interpret"))
+def _perturb_sharded_fe_jit(planes, P, ns, iterations: int, h: int,
+                            w: int, mesh: Mesh, julia: bool,
+                            glitch: bool, interpret: bool):
+    """Extreme-depth (floatexp) variant of the sharded planes kernel."""
+    from fractal_tpu.ops.perturb import perturb_pallas_fe
+
+    n = mesh.shape[AXIS]
+    hp = _pad_rows(h, n)
+    rows_local = hp // n
+
+    def local_stripe(planes, P, ns):
+        d = jax.lax.axis_index(AXIS).astype(jnp.float32)
+        p_local = P.at[6].set(jnp.float32(n)).at[7].set(d)
+        return perturb_pallas_fe(
+            planes, p_local, ns[0], iterations=iterations,
+            height=rows_local, width=w, julia=julia, glitch=glitch,
+            interpret=interpret)
+
+    zr, zi, cnt, gl = shard_map(
+        local_stripe, mesh=mesh,
+        in_specs=(P_spec(), P_spec(), P_spec()),
+        out_specs=(P_spec(AXIS),) * 4,
+        check_vma=False,
+    )(planes, P, ns)
+
+    def deint(a):
+        return (a.reshape(n, rows_local, w)
+                .transpose(1, 0, 2).reshape(hp, w)[:h])
+
+    return deint(zr), deint(zi), deint(cnt), deint(gl)
+
+
 def P_spec(*axes):
     from jax.sharding import PartitionSpec
 
@@ -255,7 +289,19 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None,
     h, w, on_accel, ref_px, orbit, P, _, dev = _perturb_setup(scene, fast)
     ns = jnp.asarray([orbit.n_steps], jnp.int32)
     use_pallas = on_accel if use_pallas is None else use_pallas
-    if use_pallas and not _is_extreme(scene):
+    fe_accel = (_is_extreme(scene)
+                and (jax.default_backend() not in ("cpu",)
+                     or use_pallas is True))
+    if fe_accel:
+        # extreme depth: the floatexp Pallas kernel shards the same way
+        # (planes replicated, global rows via the integer row map)
+        planes = _planes_for(scene, orbit, ref_px, w, h, fast)
+        zr, zi, cnt, gl = _perturb_sharded_fe_jit(
+            planes, P, ns, scene.iterations, h, w, mesh,
+            julia=scene.algo == "julia", glitch=not fast,
+            interpret=jax.default_backend() in ("cpu",),
+        )
+    elif use_pallas and not _is_extreme(scene):
         planes = (dev if on_accel
                   else _planes_for(scene, orbit, ref_px, w, h, fast))
         zr, zi, cnt, gl = _perturb_sharded_pallas_jit(

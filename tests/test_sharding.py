@@ -211,3 +211,22 @@ def test_perturb_sharded_p32_matches_single_device(mesh):
     forced = np.asarray(render_perturb_sharded(scene, mesh, fast=True,
                                                use_pallas=True))
     np.testing.assert_array_equal(forced, single)
+
+
+def test_perturb_sharded_extreme_twin_matches_single_device(mesh):
+    """Extreme depth (1e44x, floatexp) shards correctly: on the CPU mesh the
+    default path runs the fe XLA twin row-interleaved; it must equal the
+    single-device render bit-for-bit.  (The fe PALLAS sharded path shares
+    the same row-map plumbing and is validated on real TPU hardware — the
+    interpret-mode kernel under shard_map is too slow for CI.)"""
+    from fractal_tpu.ops import perturb as pt
+    from fractal_tpu.parallel.sharding import render_perturb_sharded
+
+    scene = Scene(width=32, height=20, iterations=120,
+                  pos_str=("-1.9999999999999999999999999999999999999999999"
+                           "91", "0.0"),
+                  scale=(1e44, 1e44), precision="perturb")
+    assert pt._is_extreme(scene)
+    single = np.asarray(render_u8(scene))
+    sharded = np.asarray(render_perturb_sharded(scene, mesh))
+    np.testing.assert_array_equal(sharded, single)
