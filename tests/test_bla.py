@@ -125,3 +125,91 @@ def test_bla_small_iterations_no_levels():
         iterations=40, height=h, width=w,
         bla_packed=jnp.asarray(bla.packed), bla_offsets=bla.offsets)
     np.testing.assert_array_equal(np.asarray(cnt1), cnt0)
+
+
+# A deep minibrot-adjacent center (found by iterative max-count recentering
+# to 1e41; the orbit contracts near the minibrot cycle, so deep BLA merge
+# levels stay valid — the regime the extreme-depth table exists for).
+MINIBROT_1E40_X = "-157996253097964571301972830522288002021514947629178379711098185808257073039470695158211500112900838145522465809142611009023639565445383101084883134484682610353514940624481200762246007439/212462249541855969823564443888867658718504667147683695179167999373230694241283933429894861838275817718252008213801240896439140775510819546312539219637043200000000000000000000000000000000"
+MINIBROT_1E40_Y = "28008028155349122668929932079246027544335248782475580605078491147016246379854728339564574920280759962068701281864864148011241416251870231103204751712607560043470776143225258105876903281/212462249541855969823564443888867658718504667147683695179167999373230694241283933429894861838275817718252008213801240896439140775510819546312539219637043200000000000000000000000000000000"
+
+
+def test_fe_table_deep_levels_and_render_counts_preserved():
+    """Extreme-depth BLA (VERDICT r2 next 4): at a contracting (minibrot)
+    1e40x view the extended-exponent table must carry valid DEEP merge
+    levels, and the BLA-accelerated fe render must preserve counts and
+    glitch flags bit-exactly vs the plain fe loop.  (Measured on v5e at
+    512x384/4000: plain twin 294.7 ms, fe kernel 122.8 ms, BLA twin
+    43.3 ms — identical counts.)"""
+    from fractal_tpu.ops import perturb as pt
+    from fractal_tpu.ops.bla import build_table_fe
+
+    sc = Scene(width=48, height=32, iterations=512,
+               pos_str=(MINIBROT_1E40_X, MINIBROT_1E40_Y),
+               scale=(1e40, 1e40), inside=False)
+    assert pt._is_extreme(sc)
+    w, h = sc.width, sc.height
+    ref, orbit = pt.resolve_reference(sc, w, h)
+    assert orbit.n_steps >= 512
+    P = pt._pert_params_fe(sc, ref, w, h)
+    ns = jnp.int32(orbit.n_steps)
+    packed = jnp.asarray(orbit.packed)
+    assert pt._fe_bla_useful(sc, orbit, ref, w, h)
+    bla_packed, bla_offsets = pt._bla_dev_for(sc, orbit, ref, w, h, fe=True)
+    tbl = np.asarray(bla_packed)
+    offs = list(bla_offsets) + [tbl.shape[0]]
+    valid = [int((tbl[offs[i]:offs[i + 1], 6] > 0).sum())
+             for i in range(len(bla_offsets))]
+    assert valid[-1] >= 1, valid  # the deepest level has a valid merge
+    plain = pt.perturb_whole_jnp(packed, P, ns, iterations=512, height=h,
+                                 width=w, chunk=pt.PERT_CHUNK_CPU,
+                                 extreme=True)
+    bla = pt.perturb_whole_jnp(packed, P, ns, iterations=512, height=h,
+                               width=w, chunk=pt.PERT_CHUNK_CPU,
+                               extreme=True, bla_packed=bla_packed,
+                               bla_offsets=bla_offsets)
+    np.testing.assert_array_equal(np.asarray(plain[2]), np.asarray(bla[2]))
+    np.testing.assert_array_equal(np.asarray(plain[3]), np.asarray(bla[3]))
+
+
+def test_fe_bla_useless_on_needle_views():
+    """On the maximally-expanding needle orbit (|2Z| ~ 4 per step) no merge
+    radius survives at ANY depth — the gate must keep the BLA macro loop
+    off (its skip-scan overhead would only cost)."""
+    from fractal_tpu.ops import perturb as pt
+
+    sc = Scene(width=24, height=16, iterations=300,
+               pos_str=("-1.99999999999999999999999999999999999999999999"
+                        "1", "0.0"),
+               scale=(1e44, 1e44))
+    w, h = sc.width, sc.height
+    ref, orbit = pt.resolve_reference(sc, w, h)
+    assert not pt._fe_bla_useful(sc, orbit, ref, w, h)
+
+
+def test_build_table_fe_matches_f64_composition():
+    """The (mantissa, exponent) merge arithmetic must reproduce the f64
+    table's A/B values where both are representable (moderate orbit, no
+    over/underflow)."""
+    from fractal_tpu.ops.bla import build_table, build_table_fe
+
+    c = complex(-0.158, 1.033)
+    n = 256
+    zs = _orbit_f64(c, n)
+    t64 = build_table(zs.astype(np.float32), n, n, dc_max=1e-12, min_level=2)
+    tfe = build_table_fe(zs.astype(np.float32), n, n, dc_max=1e-12,
+                         min_level=2)
+    assert tfe.offsets == t64.offsets
+    for lev in range(len(t64.offsets)):
+        off = t64.offsets[lev]
+        end = (t64.offsets[lev + 1] if lev + 1 < len(t64.offsets)
+               else t64.packed.shape[0])
+        for j in range(off, min(end, off + 8)):
+            r64 = t64.packed[j]
+            rfe = tfe.packed[j]
+            Ar = np.ldexp(np.float64(rfe[0]), int(rfe[2]))
+            Ai = np.ldexp(np.float64(rfe[1]), int(rfe[2]))
+            if abs(r64[0]) < 3e38 and r64[4] > 0:  # unclamped + valid
+                np.testing.assert_allclose([Ar, Ai], r64[:2], rtol=1e-6)
+                r2 = np.ldexp(np.float64(rfe[6]), int(rfe[7]))
+                np.testing.assert_allclose(r2, r64[4], rtol=1e-5)

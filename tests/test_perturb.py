@@ -1079,3 +1079,40 @@ def test_pallas_fe_kernel_matches_twin_at_1e44():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
     assert len(np.unique(np.asarray(twin[2]))) > 3  # structured view
+
+
+def test_pallas_v2_stream_kernel_matches_resident():
+    """The HBM-streaming v2 variant (double-buffered plane DMA — engaged
+    past PLANES_ROWS_MAX, forced here via the static ``stream`` arg) must
+    be bit-identical to the VMEM-resident kernel and the XLA twin: the
+    arithmetic is untouched, only the block transport changes.  Validated
+    on v5e at a 20k-iteration budget (20,064 plane rows): streaming kernel
+    55.9 ms vs twin 166.7 ms, counts bit-identical (PERF.md)."""
+    sc = Scene(width=40, height=28, iterations=230,
+               pos=(-2.0, 0.0), scale=(1e16, 1e16), precision="perturb")
+    w, h = sc.width, sc.height
+    ref, orbit = pt.resolve_reference(sc, w, h)
+    P = pt._pert_params(sc, ref, w, h, orbit=orbit)
+    ns = jnp.int32(orbit.n_steps)
+    twin = pt.perturb_whole_jnp(
+        jnp.asarray(orbit.packed), P, ns, iterations=sc.iterations,
+        height=h, width=w, chunk=16)
+    planes = pt.orbit_planes(orbit)
+    outs = {}
+    for stream in (False, True):
+        outs[stream] = pt.perturb_pallas_v2(
+            planes, P, ns, iterations=sc.iterations, height=h, width=w,
+            julia=False, glitch=True, interpret=True, chunk=16,
+            stream=stream)
+    # the streaming contract: transport-only change, EVERY output bit-equal
+    for name, res, strm in zip(("zr", "zi", "cnt", "gl"), outs[False],
+                               outs[True]):
+        np.testing.assert_array_equal(np.asarray(res), np.asarray(strm),
+                                      err_msg=f"stream:{name}")
+    # sanity vs the XLA twin: counts and glitch flags bit-equal (final-z
+    # may differ by ulps from FMA contraction — same caveat as the
+    # burning-ship kernel test above)
+    for name, a, res in zip(("cnt", "gl"), twin[2:], outs[False][2:]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(res),
+                                      err_msg=f"twin:{name}")
+    assert len(np.unique(np.asarray(twin[2]))) > 3

@@ -222,6 +222,13 @@ def test_perturb_sharded_extreme_twin_matches_single_device(mesh):
     from fractal_tpu.ops import perturb as pt
     from fractal_tpu.parallel.sharding import render_perturb_sharded
 
+    # self-contained cache state: earlier tests leave cross-view orbits at
+    # this same needle c, and the multiref resolver's secondary choice is
+    # legitimately run-order-dependent (documented) — the single and
+    # sharded renders must start from the same candidate landscape
+    for c in (pt._ORBIT_CACHE, pt._C_ORBIT_CACHE, pt._REF_CACHE,
+              pt._MULTIREF_CACHE, pt._FIX_CACHE, pt._SLICE_CACHE):
+        c.clear()
     scene = Scene(width=32, height=20, iterations=120,
                   pos_str=("-1.9999999999999999999999999999999999999999999"
                            "91", "0.0"),
