@@ -7,7 +7,8 @@ its README claims ~1 s for this on an all-core laptop CPU — ~9 Mpixel/s).
 Measured on whatever jax.default_backend() is (the driver runs this on one
 real TPU chip).  Compile excluded (one warmup), p50 of repeated runs.
 
-Extra configs (BASELINE.json) can be benchmarked with --all.
+Every tracked config (BASELINE.json + the long tail) lands in
+the JSON's details.baseline_configs.
 """
 
 from __future__ import annotations
@@ -101,6 +102,35 @@ def baseline_configs():
     }
 
 
+def longtail_configs():
+    """Long-tail configs — previously behind --all / stderr-only, now in
+    the driver JSON (VERDICT r2 weak 8)."""
+    from fractal_tpu.config import Scene, scene_defaults
+
+    return {
+        "burning_ship_2k": Scene(
+            algo="burningship", width=2000, height=2000, iterations=500,
+            pos=(-0.45, -0.5), scale=(0.8, 0.8),
+        ),
+        "fern_100M": scene_defaults("fern").replace(
+            width=2000, height=2000, iterations=100_000_000,
+        ),
+        # beyond the reference's f64 wall: perturbation w/ mpmath orbit
+        "perturb_1080p_1e15": Scene(
+            width=1920, height=1080, iterations=5000,
+            pos=(-0.74364388703715871, 0.13182590420531198),
+            scale=(1e15, 1e15), inside=False,
+        ),
+        # extreme depth (floatexp Pallas kernel, r3): 29 orders past f64
+        "extreme_768x512_1e44": Scene(
+            width=768, height=512, iterations=2000,
+            pos_str=("-1.9999999999999999999999999999999999999999999"
+                     "91", "0.0"),
+            scale=(1e44, 1e44), inside=False,
+        ),
+    }
+
+
 def main():
     # persistent XLA compile cache (same as the CLI): the harness compiles
     # ~10 program shapes; a fresh process re-runs warm instead of paying
@@ -112,7 +142,8 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--all", action="store_true",
-                    help="also run the long-tail configs (human-readable)")
+                    help="(no-op since r3: the long-tail configs always "
+                         "run and land in details.baseline_configs)")
     ap.add_argument("--headline-only", action="store_true",
                     help="skip the BASELINE secondary configs")
     args = ap.parse_args()
@@ -173,6 +204,18 @@ def main():
         except Exception as e:
             configs["julia_sweep_256f_1080p"] = {"error": str(e)[:200]}
             print(f"# julia_sweep: FAILED {e}", file=sys.stderr)
+        # long-tail configs (burning ship, fern 100M, 1e15, 1e44) — in the
+        # driver JSON since r3 (they were stderr-only behind --all)
+        for name, sc in longtail_configs().items():
+            try:
+                _, stats = _bench_config(sc, max(2, args.repeats // 2),
+                                         args.backend)
+                if sc.algo != "fern":
+                    stats["precision"] = resolve_precision(sc)
+                configs[name] = stats
+            except Exception as e:
+                configs[name] = {"error": str(e)[:200]}
+                print(f"# {name}: FAILED {e}", file=sys.stderr)
 
     result = {
         "metric": "mandelbrot 3000x3000 @1e6x zoom, 4000 max-iter, "
@@ -193,34 +236,8 @@ def main():
     }
     print(json.dumps(result))
 
-    if args.all:
-        import sys
-
-        from fractal_tpu.config import Scene, scene_defaults
-
-        extras = {
-            "burning_ship_2k": Scene(
-                algo="burningship", width=2000, height=2000, iterations=500,
-                pos=(-0.45, -0.5), scale=(0.8, 0.8),
-            ),
-            "fern_100M": scene_defaults("fern").replace(
-                width=2000, height=2000, iterations=100_000_000,
-            ),
-            # beyond the reference's f64 wall: perturbation w/ mpmath orbit
-            "perturb_1080p_1e15": Scene(
-                width=1920, height=1080, iterations=5000,
-                pos=(-0.74364388703715871, 0.13182590420531198),
-                scale=(1e15, 1e15), inside=False,
-            ),
-        }
-        for name, sc in extras.items():
-            try:
-                p50e, _ = bench_render(sc, max(2, args.repeats // 2), args.backend)
-                mp = sc.width * sc.height / p50e / 1e6
-                print(f"# {name}: {p50e*1e3:.1f} ms ({mp:.0f} Mpix/s)",
-                      file=sys.stderr)
-            except Exception as e:  # keep the harness alive per-config
-                print(f"# {name}: FAILED {e}", file=sys.stderr)
+    # --all kept for compatibility: the long tail now always runs as part
+    # of the default JSON (details.baseline_configs)
 
 
 if __name__ == "__main__":
