@@ -131,11 +131,12 @@ def render_sweep(scenes: Sequence[Scene], device_resident: bool = False):
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "julia",
                                              "on_accel", "treedef",
-                                             "glitch"))
+                                             "glitch", "power", "algo"))
 def _zoom_sweep_jit(scene: Scene, leaves_batched, params_batched, planes,
                     orbit_packed, n_steps, treedef, *, height: int,
                     width: int, julia: bool, on_accel: bool,
-                    glitch: bool = False):
+                    glitch: bool = False, power: int = 2,
+                    algo: str = "mandelbrot"):
     from fractal_tpu.ops.perturb import (
         PERT_CHUNK_CPU,
         perturb_pallas_v2,
@@ -149,11 +150,13 @@ def _zoom_sweep_jit(scene: Scene, leaves_batched, params_batched, planes,
         if on_accel:
             zr, zi, cnt, gl = perturb_pallas_v2(
                 planes, P, n_steps, iterations=scene.iterations,
-                height=height, width=width, julia=julia, glitch=glitch)
+                height=height, width=width, julia=julia, glitch=glitch,
+                power=power, algo=algo)
         else:
             zr, zi, cnt, gl = perturb_whole_jnp(
                 orbit_packed, P, n_steps, iterations=scene.iterations,
-                height=height, width=width, chunk=PERT_CHUNK_CPU)
+                height=height, width=width, chunk=PERT_CHUNK_CPU,
+                power=power, algo=algo)
         # per-frame flagged-pixel count: the exact sweep re-renders only
         # the frames where it is non-zero (zero extra cost per frame)
         return (_color_and_downsample(sc, zr, zi, cnt),
@@ -170,10 +173,13 @@ def render_zoom_sweep(scene: Scene, scales: Sequence[float],
     The reference orbit is computed once at the DEEPEST frame — the view
     center's c is identical at every zoom level, so the same orbit serves
     all frames; only the per-frame viewport constants (δc gain) change.
-    By default frames run the p32 quality envelope (f32 δ-orbits, no
-    glitch fallback — see PERF.md); at shallow zoom f32 is exact-grade
-    anyway, and past 1e6× the classification stays >99.9 % with boundary
-    texture noise.
+    Every perturbation algo is supported (quadratic mandelbrot/julia,
+    multibrot z^d+c, burning ship, tricorn — r3).  By default frames run
+    the p32 quality envelope (f32 δ-orbits, no glitch fallback — see
+    PERF.md); at shallow zoom f32 is exact-grade anyway, and past 1e6×
+    the classification stays >99.9 % with boundary texture noise.  Fast
+    sweeps also ride the per-frame series approximation (quadratic only):
+    deep frames skip their common prefix exactly as stills do.
 
     ``exact=True`` (VERDICT r2 weak 4) closes the sweep/still quality gap:
     the batched pass runs glitch detection, and every frame that flags
@@ -189,8 +195,14 @@ def render_zoom_sweep(scene: Scene, scales: Sequence[float],
         reference_orbit,
     )
 
-    if scene.algo not in ("mandelbrot", "julia") or scene.power != 2:
-        raise ValueError("zoom sweeps support quadratic mandelbrot/julia only")
+    quad = scene.algo in ("mandelbrot", "julia") and scene.power == 2
+    other = (scene.algo in ("burningship", "tricorn")
+             or (scene.algo == "multibrot" and scene.power >= 2))
+    if not (quad or other):
+        raise ValueError(
+            f"zoom sweeps support quadratic mandelbrot/julia, multibrot "
+            f"z^d+c, burning ship, and tricorn — not {scene.algo} "
+            f"(power {scene.power})")
     from fractal_tpu.ops.perturb import _is_extreme
 
     deepest_probe = scene.replace(scale=(max(abs(float(s)) for s in scales),) * 2)
@@ -218,12 +230,20 @@ def render_zoom_sweep(scene: Scene, scales: Sequence[float],
     frames = [scene.replace(scale=(float(s), float(s))) for s in scales]
     _, treedef = jax.tree_util.tree_flatten(scene)
     leaves_batched = _batch_leaves(frames, treedef, jnp.float32)
-    params_batched = jnp.stack([_pert_params(f, ref, w, h) for f in frames])
+    # fast-tier sweeps engage the per-frame series approximation (each
+    # frame's scale gets its own n_skip/coefficients in its P row —
+    # quadratic only, _pert_params gates internally); exact sweeps stay
+    # SA-free so clean frames keep the bit-for-still contract (the still's
+    # SA is computed against ITS chosen reference, not the sweep center)
+    sa_orbit = None if exact else orbit
+    params_batched = jnp.stack(
+        [_pert_params(f, ref, w, h, orbit=sa_orbit) for f in frames])
     out, glc = _zoom_sweep_jit(
         scene, leaves_batched, params_batched, planes,
         jnp.asarray(orbit.packed), jnp.int32(orbit.n_steps), treedef,
         height=h, width=w, julia=scene.algo == "julia", on_accel=on_accel,
-        glitch=exact)
+        glitch=exact, power=scene.power if scene.algo == "multibrot" else 2,
+        algo=scene.algo)
     if exact:
         from fractal_tpu.ops.perturb import render_perturb
 

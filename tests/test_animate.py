@@ -144,3 +144,73 @@ def test_exact_sweep_cli_flag_parses():
     o = parse_options("--animate 4 --sweep zoom --exact-sweep 32 24".split())
     assert o.exact_sweep is True
     assert parse_options("32 24".split()).exact_sweep is False
+
+
+def test_zoom_sweep_nonquadratic_algos():
+    """r3: zoom sweeps carry every perturbation recurrence.  A multibrot
+    z^3+c and a tricorn sweep must render structured, distinct frames
+    (their δ-recurrences run inside the batched program), and each exact
+    frame must match the still render of that zoom level."""
+    from fractal_tpu.animate import render_zoom_sweep
+    from fractal_tpu.ops.perturb import render_perturb
+
+    sc = Scene(algo="multibrot", power=3, width=32, height=24,
+               iterations=300,
+               pos=(0.443046379971365280901244412109,
+                    0.558308536476846021719895522933),
+               scale=(1e14, 1e14), inside=False, precision="perturb")
+    scales = [1e5, 1e14]
+    frames = render_zoom_sweep(sc, scales, exact=True)
+    assert frames.shape == (2, 24, 32, 3)
+    assert len({frames[i].tobytes() for i in range(2)}) == 2
+    for i, s in enumerate(scales):
+        still = np.asarray(render_perturb(
+            sc.replace(scale=(float(s), float(s))), fast=False))
+        np.testing.assert_array_equal(frames[i], still,
+                                      err_msg=f"multibrot scale {s}")
+
+
+def test_zoom_sweep_tricorn_fast():
+    from fractal_tpu.animate import render_zoom_sweep
+
+    # a real-axis center: on the reals the conjugate recurrence reduces
+    # to the quadratic one, so the needle segment never escapes
+    sc = Scene(algo="tricorn", width=24, height=18, iterations=150,
+               pos=(-1.99999999999, 0.0), scale=(1e13, 1e13), inside=False,
+               precision="perturb")
+    frames = render_zoom_sweep(sc, [1e4, 1e13])
+    assert frames.shape == (2, 18, 24, 3)
+    assert frames[0].std() > 0  # structured shallow frame
+
+
+def test_zoom_sweep_fast_frames_ride_series_approximation(monkeypatch):
+    """Fast-tier sweeps engage the per-frame SA (r3): with the still's
+    reference pinned to the sweep's center, a deep fast frame must be
+    bit-identical to the p32 still (same orbit, same per-scale series) —
+    and the deep frame's series must actually skip a prefix."""
+    from fractal_tpu import animate as an
+    from fractal_tpu.animate import render_zoom_sweep
+    from fractal_tpu.ops import perturb as pt
+    from fractal_tpu.ops.perturb import render_perturb
+
+    for c in (pt._ORBIT_CACHE, pt._C_ORBIT_CACHE, pt._REF_CACHE,
+              pt._SERIES_CACHE, pt._FIX_CACHE, pt._SLICE_CACHE):
+        c.clear()
+    sc = Scene(width=32, height=24, iterations=600,
+               pos=(-0.74364388703715871, 0.13182590420531198),
+               scale=(1e13, 1e13), inside=False, precision="perturb")
+    w, h = sc.width, sc.height
+    monkeypatch.setattr(pt, "choose_reference",
+                        lambda s, ww, hh: (ww // 2, hh // 2))
+    deep = sc.replace(scale=(1e13, 1e13))
+    ref, orbit = pt.resolve_reference(deep, w, h)
+    import math
+
+    (Ar, _), (Ai, _) = pt._affine_fractions(w, h, deep.pos, deep.scale)
+    dcm = math.hypot(max(ref[0], w - 1 - ref[0]) * abs(float(Ar)),
+                     max(ref[1], h - 1 - ref[1]) * abs(float(Ai)))
+    n_skip, _ = pt._series_for(deep, orbit, ref, w, h, dcm)
+    assert n_skip > 0  # the deep frame really skips a prefix
+    frames = render_zoom_sweep(sc, [1e6, 1e13])
+    still = np.asarray(render_perturb(deep, fast=True))
+    np.testing.assert_array_equal(frames[1], still)
