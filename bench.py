@@ -102,6 +102,13 @@ def baseline_configs():
     }
 
 
+# a deep minibrot-adjacent center (iterative max-count recentering to
+# 1e41): the orbit contracts near the minibrot cycle, the regime deep
+# zooms actually target (and where the fe BLA table is valid)
+_MINIBROT_1E40_X = "-157996253097964571301972830522288002021514947629178379711098185808257073039470695158211500112900838145522465809142611009023639565445383101084883134484682610353514940624481200762246007439/212462249541855969823564443888867658718504667147683695179167999373230694241283933429894861838275817718252008213801240896439140775510819546312539219637043200000000000000000000000000000000"
+_MINIBROT_1E40_Y = "28008028155349122668929932079246027544335248782475580605078491147016246379854728339564574920280759962068701281864864148011241416251870231103204751712607560043470776143225258105876903281/212462249541855969823564443888867658718504667147683695179167999373230694241283933429894861838275817718252008213801240896439140775510819546312539219637043200000000000000000000000000000000"
+
+
 def longtail_configs():
     """Long-tail configs — previously behind --all / stderr-only, now in
     the driver JSON (VERDICT r2 weak 8)."""
@@ -127,6 +134,14 @@ def longtail_configs():
             pos_str=("-1.9999999999999999999999999999999999999999999"
                      "91", "0.0"),
             scale=(1e44, 1e44), inside=False,
+        ),
+        # contracting (minibrot) 1e40x view: the extended-exponent BLA
+        # table fires at every merge level here (PERF.md r3 — 43.3 ms vs
+        # 294.7 plain); the needle view above gets ZERO valid radii
+        "minibrot_512x384_1e40_bla": Scene(
+            width=512, height=384, iterations=4000,
+            pos_str=(_MINIBROT_1E40_X, _MINIBROT_1E40_Y),
+            scale=(1e40, 1e40), inside=False,
         ),
     }
 
