@@ -226,7 +226,12 @@ def main():
                 _, stats = _bench_config(sc, max(2, args.repeats // 2),
                                          args.backend)
                 if sc.algo != "fern":
-                    stats["precision"] = resolve_precision(sc)
+                    from fractal_tpu.ops.perturb import _is_extreme
+
+                    prec = resolve_precision(sc)
+                    if prec == "perturb" and _is_extreme(sc):
+                        prec = "floatexp"  # the extreme tier's actual path
+                    stats["precision"] = prec
                 configs[name] = stats
             except Exception as e:
                 configs[name] = {"error": str(e)[:200]}
