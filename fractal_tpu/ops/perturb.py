@@ -1855,6 +1855,61 @@ def _candidate_refs(scene, width: int, height: int, limit: int = 4):
 MULTIREF_MAX_ROUNDS = 16
 MULTIREF_DRY_ROUNDS = 3
 
+# Last-resort budget for resolving multiref residuals by DIRECT
+# high-precision iteration (pixel-iterations; ~4M ≈ a few host seconds).
+# Residual sets are tiny in practice (tens of pixels when cross-view
+# cache state degrades the medoid choice), so the budget covers them
+# with huge margin; a pathological set past the budget keeps best-effort
+# values and warns, as before.
+DIRECT_RESOLVE_BUDGET = 1 << 22
+DIRECT_RESOLVE_MIN = 64  # always worth finishing a set this small exactly
+
+
+def _direct_resolve(scene, idx, width: int, height: int, row0: int = 0):
+    """Resolve pixels by DIRECT high-precision iteration — the same
+    mpmath walk (and digit budget) as ``reference_orbit``, per pixel at
+    its exact-rational c.  O(iterations) host work per pixel: only for
+    the tiny residual sets that survive every multiref round.  Count and
+    final-z semantics mirror the δ-orbit twins: the escaping step is not
+    counted, z freezes at its first beyond-limit value."""
+    import mpmath as mp
+
+    (Ar, Cr), (Ai, Ci) = _affine_fractions(width, height, exact_pos(scene),
+                                           scene.scale)
+    limit_sq = float(scene.limit) ** 2
+    spacing = scene.pixel_spacing / scene.supersample
+    digits = int(-math.log10(max(spacing, 1e-300))) + 20
+    step = _host_step(scene.algo, scene.power)
+    n_px = idx.size
+    out_zr = np.empty(n_px, np.float32)
+    out_zi = np.empty(n_px, np.float32)
+    out_cnt = np.empty(n_px, np.int32)
+    with mp.workdps(digits):
+        for j in range(n_px):
+            x = int(idx[j] % width)
+            y = int(idx[j] // width) + row0
+            c0r_f = Ar * x + Cr
+            c0i_f = Ai * y + Ci
+            z = mp.mpc(mp.mpf(c0r_f.numerator) / c0r_f.denominator,
+                       mp.mpf(c0i_f.numerator) / c0i_f.denominator)
+            if scene.algo == "julia":
+                c = mp.mpc(mp.mpf(float(scene.julia_set[0])),
+                           mp.mpf(float(scene.julia_set[1])))
+            else:
+                c = z
+            n = 0
+            while n < scene.iterations:
+                z2 = step(z, c)
+                if z2.real * z2.real + z2.imag * z2.imag > limit_sq:
+                    z = z2
+                    break
+                z = z2
+                n += 1
+            out_zr[j] = float(z.real)
+            out_zi[j] = float(z.imag)
+            out_cnt[j] = n
+    return out_zr, out_zi, out_cnt
+
 
 def _multiref_resolve(scene, idx, width: int, height: int,
                       max_refs: int = MULTIREF_MAX_ROUNDS,
@@ -1867,7 +1922,9 @@ def _multiref_resolve(scene, idx, width: int, height: int,
     references usually still resolve, skipping the high-precision walks
     that dominate interactive latency.  Returns (zr, zi, cnt) f32/i32
     arrays in ``idx`` order; pixels still flagged after ``max_refs`` medoid
-    rounds keep their last (best-effort) values — never observed past 2.
+    rounds are finished EXACTLY by direct high-precision iteration
+    (``_direct_resolve``) when the set fits the pixel-iteration budget;
+    best-effort values survive only past it (then warned).
 
     ``refs_out`` (optional list) collects ``(ref_px, orbit)`` pairs for the
     references that resolved pixels, so the caller can cache them and run
@@ -1945,13 +2002,27 @@ def _multiref_resolve(scene, idx, width: int, height: int,
         out_cnt[remaining] = cnt1
         remaining = remaining[gl1 != 0]
     if remaining.size:
-        import warnings
+        n_direct = max(DIRECT_RESOLVE_MIN,
+                       DIRECT_RESOLVE_BUDGET // max(scene.iterations, 1))
+        if remaining.size <= n_direct:
+            # tiny residual set: finish it EXACTLY by direct high-precision
+            # iteration — no pixel is ever best-effort within the budget
+            dzr, dzi, dcnt = _direct_resolve(scene, idx[remaining], width,
+                                             height, row0=row0)
+            out_zr[remaining] = dzr
+            out_zi[remaining] = dzi
+            out_cnt[remaining] = dcnt
+            remaining = remaining[:0]
+        else:
+            import warnings
 
-        warnings.warn(
-            f"multi-reference resolve: {remaining.size} pixel(s) still "
-            f"glitched after {medoid_rounds} medoid round(s) — keeping "
-            f"best-effort values (RENDER_STATS['n_residual'])",
-            stacklevel=2)
+            warnings.warn(
+                f"multi-reference resolve: {remaining.size} pixel(s) still "
+                f"glitched after {medoid_rounds} medoid round(s) — past the "
+                f"direct-resolve budget ({n_direct} px at this iteration "
+                f"count), keeping best-effort values "
+                f"(RENDER_STATS['n_residual'])",
+                stacklevel=2)
     return out_zr, out_zi, out_cnt, int(remaining.size)
 
 

@@ -970,14 +970,7 @@ def test_series_skip_escape_bound_enforced():
     assert n2 > 0
 
 
-def test_multiref_residual_surfaced(monkeypatch):
-    """Forced-residual path (VERDICT r2 weak 5): when no reference resolves
-    the glitched pixels, the resolver must (a) warn with the count, (b)
-    return it, (c) not repeat the same failed medoid, and (d) keep refs_out
-    empty."""
-    w, h = 24, 16
-    scene = Scene(width=w, height=h, iterations=300, pos=(-2.0, 0.0),
-                  scale=(1e16, 1e16))
+def _force_all_glitched(monkeypatch):
     walked = []
     real_orbit = pt.reference_orbit
 
@@ -994,13 +987,61 @@ def test_multiref_residual_surfaced(monkeypatch):
     monkeypatch.setattr(pt, "reference_orbit", spy_orbit)
     monkeypatch.setattr(pt, "_pert_fallback_1d_jit", all_glitched)
     monkeypatch.setattr(pt, "_candidate_refs", lambda *a, **k: [])
+    return walked
+
+
+def test_multiref_residual_direct_resolve(monkeypatch):
+    """r3: when no reference resolves the glitched pixels, a residual set
+    within the pixel-iteration budget is finished EXACTLY by direct
+    high-precision iteration — zero residuals, no warning, and the counts
+    equal the unglitched twin's on this well-conditioned needle view."""
+    w, h = 24, 16
+    scene = Scene(width=w, height=h, iterations=300, pos=(-2.0, 0.0),
+                  scale=(1e16, 1e16))
+    # ground truth BEFORE forcing glitches: the real fallback resolve
+    ref, orbit = pt.resolve_reference(scene, w, h)
+    P = pt._pert_params(scene, ref, w, h)
     idx = np.arange(6)
+    xs = (idx % w).astype(np.float32)
+    ys = (idx // w).astype(np.float32)
+    k = 128
+    xs_p = np.full(k, float(w), np.float32)
+    ys_p = np.full(k, float(h), np.float32)
+    xs_p[:6], ys_p[:6] = xs, ys
+    _, _, cnt_t, gl_t = pt._pert_fallback_1d_jit(
+        jnp.asarray(orbit.packed), P, jnp.int32(orbit.n_steps),
+        jnp.asarray(xs_p), jnp.asarray(ys_p), iterations=300, k=k,
+        power=2, algo="mandelbrot", extreme=False)
+    cnt_t = np.asarray(cnt_t).ravel()[:6]
+    assert (np.asarray(gl_t).ravel()[:6] == 0).all()  # well-conditioned
+
+    walked = _force_all_glitched(monkeypatch)
     refs = []
-    with pytest.warns(UserWarning, match="still glitched"):
-        _, _, _, nres = pt._multiref_resolve(scene, idx, w, h, refs_out=refs)
-    assert nres == idx.size
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # any warning fails the test
+        _, _, cnt_d, nres = pt._multiref_resolve(scene, idx, w, h,
+                                                 refs_out=refs)
+    assert nres == 0
+    np.testing.assert_array_equal(cnt_d, cnt_t)
     assert refs == []  # no-op rounds must not pollute the warm-frame pack
     assert len(walked) == len(set(walked))  # failed medoids never re-picked
+
+
+def test_multiref_residual_surfaced_past_budget(monkeypatch):
+    """Past the direct-resolve budget the resolver must still (a) warn with
+    the count and (b) return it (VERDICT r2 weak 5)."""
+    w, h = 24, 16
+    scene = Scene(width=w, height=h, iterations=300, pos=(-2.0, 0.0),
+                  scale=(1e16, 1e16))
+    _force_all_glitched(monkeypatch)
+    monkeypatch.setattr(pt, "DIRECT_RESOLVE_BUDGET", 0)
+    monkeypatch.setattr(pt, "DIRECT_RESOLVE_MIN", 0)
+    idx = np.arange(6)
+    with pytest.warns(UserWarning, match="still glitched"):
+        _, _, _, nres = pt._multiref_resolve(scene, idx, w, h)
+    assert nres == idx.size
 
 
 # --- v2 Pallas kernel: non-quadratic recurrences (VERDICT r2 next 2) ------
