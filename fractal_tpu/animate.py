@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fractal_tpu.config import Scene
+from fractal_tpu.models.rules import eff_power, perturb_supported
 from fractal_tpu.render import (
     _render_escape_jit,
     _render_escape_pallas_jit,
@@ -195,14 +196,11 @@ def render_zoom_sweep(scene: Scene, scales: Sequence[float],
         reference_orbit,
     )
 
-    quad = scene.algo in ("mandelbrot", "julia") and scene.power == 2
-    other = (scene.algo in ("burningship", "tricorn")
-             or (scene.algo == "multibrot" and scene.power >= 2))
-    if not (quad or other):
+    if not perturb_supported(scene.algo, scene.power):
         raise ValueError(
-            f"zoom sweeps support quadratic mandelbrot/julia, multibrot "
-            f"z^d+c, burning ship, and tricorn — not {scene.algo} "
-            f"(power {scene.power})")
+            f"zoom sweeps support the z^d+c family (mandelbrot/julia/"
+            f"multibrot, d >= 2), burning ship, and tricorn — not "
+            f"{scene.algo} (power {scene.power})")
     from fractal_tpu.ops.perturb import _is_extreme
 
     deepest_probe = scene.replace(scale=(max(abs(float(s)) for s in scales),) * 2)
@@ -242,7 +240,7 @@ def render_zoom_sweep(scene: Scene, scales: Sequence[float],
         scene, leaves_batched, params_batched, planes,
         jnp.asarray(orbit.packed), jnp.int32(orbit.n_steps), treedef,
         height=h, width=w, julia=scene.algo == "julia", on_accel=on_accel,
-        glitch=exact, power=scene.power if scene.algo == "multibrot" else 2,
+        glitch=exact, power=eff_power(scene.algo, scene.power),
         algo=scene.algo)
     if exact:
         from fractal_tpu.ops.perturb import render_perturb

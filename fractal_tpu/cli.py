@@ -109,7 +109,8 @@ def build_parser() -> argparse.ArgumentParser:
     # --- framework extensions ---
     ext = p.add_argument_group("TPU framework extensions")
     ext.add_argument("--power", type=int, default=2,
-                     help="Multibrot exponent d in z^d + c.")
+                     help="Exponent d in z^d + c — honored by multibrot, "
+                          "mandelbrot (alias of multibrot), and julia.")
     ext.add_argument("--supersample", type=int, default=1, metavar="K",
                      help="K×K supersampled anti-aliasing.")
     ext.add_argument("--precision", default="auto",

@@ -84,11 +84,29 @@ RULES = {
     "tricorn": _tricorn_step,
 }
 
+#: Algos whose step is z^d + c with d = scene.power: multibrot by
+#: definition, plus the --power framework extension on mandelbrot/julia
+#: (mandelbrot power d ≡ multibrot d; julia power d has no other spelling).
+POWER_ALGOS = ("mandelbrot", "julia", "multibrot")
+
+
+def eff_power(algo: str, power: int) -> int:
+    """Effective exponent d of the z^d term: ``power`` for the z^d + c
+    family, 2 for the fixed quadratic folds (burning ship, tricorn)."""
+    return power if algo in POWER_ALGOS else 2
+
+
+def perturb_supported(algo: str, power: int) -> bool:
+    """True when a δ-orbit recurrence exists for (algo, power): the
+    z^d + c family for any integer d ≥ 2, plus burning ship and tricorn."""
+    return (algo in ("burningship", "tricorn")
+            or (algo in POWER_ALGOS and power >= 2))
+
 
 def get_rule(algo: str, power: int = 2) -> Rule:
-    if algo == "multibrot":
+    if algo in POWER_ALGOS:
         if power == 2:
-            return _square_step
+            return RULES.get(algo, _square_step)
         return make_multibrot_step(power)
     try:
         return RULES[algo]

@@ -205,7 +205,7 @@ class _DS32Rep:
         name, power = rule_name_power
         zr, zi = z
         cr, ci = c
-        if name in ("mandelbrot", "julia") or (name == "multibrot" and power == 2):
+        if name in ("mandelbrot", "julia", "multibrot") and power == 2:
             nzr, nzi = dd.quad_step(zr, zi, cr, ci)
         elif name == "burningship":
             ar = dd.where(zr[0] < 0, dd.neg(zr), zr)
@@ -213,7 +213,7 @@ class _DS32Rep:
             nzr, nzi = dd.quad_step(ar, ai, cr, ci)
         elif name == "tricorn":
             nzr, nzi = dd.quad_step(zr, zi, cr, ci, cross_sign=-1.0)
-        elif name == "multibrot":
+        elif name in ("mandelbrot", "julia", "multibrot"):
             wr, wi = zr, zi
             for _ in range(power - 1):
                 nwr = dd.sub(dd.mul(wr, zr), dd.mul(wi, zi))

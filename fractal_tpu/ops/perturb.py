@@ -39,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fractal_tpu.config import exact_pos
+from fractal_tpu.models.rules import POWER_ALGOS, eff_power, perturb_supported
 from fractal_tpu.ops.escape_pallas import (
     CHUNK,
     TILE_H,
@@ -161,7 +162,7 @@ def _host_step(algo: str, power: int):
             return type(z)(z.real * z.real - z.imag * z.imag + c.real,
                            -2 * z.real * z.imag + c.imag)
         return step
-    d = power if algo == "multibrot" else 2
+    d = eff_power(algo, power)
     return lambda z, c: z ** d + c
 
 
@@ -1316,8 +1317,13 @@ def _build_pert_kernel_v2(iterations: int, tile_h: int, tile_w: int,
                         tr = accr * dzr - acci * dzi + cj * cjr
                         ti = accr * dzi + acci * dzr + cj * cji
                         accr, acci = tr, ti
-                    ndzr = accr * dzr - acci * dzi + dcr_step[0]
-                    ndzi = accr * dzi + acci * dzr + dcr_step[1]
+                    if julia:
+                        # z^d julia: δc enters only through δz₀
+                        ndzr = accr * dzr - acci * dzi
+                        ndzi = accr * dzi + acci * dzr
+                    else:
+                        ndzr = accr * dzr - acci * dzi + dcr_step[0]
+                        ndzi = accr * dzi + acci * dzr + dcr_step[1]
                 nzfr = hbr[i + 1:i + 2, :] + ndzr
                 nzfi = hbi[i + 1:i + 2, :] + ndzi
                 nd = nzfr * nzfr + nzfi * nzfi
@@ -2215,7 +2221,7 @@ def iterate_perturb(scene, height: int, width: int, use_pallas: bool):
     zr, zi, cnt, gl = perturb_whole_jnp(
         jnp.asarray(orbit.packed), P, jnp.int32(orbit.n_steps),
         iterations=scene.iterations, height=height, width=width, chunk=chunk,
-        power=scene.power if scene.algo == "multibrot" else 2,
+        power=eff_power(scene.algo, scene.power),
         algo=scene.algo, extreme=_is_extreme(scene),
     )
     zr, zi, cnt, n_glitch = _apply_fallback(
@@ -2392,13 +2398,11 @@ def _perturb_setup(scene, fast: bool):
     the lane-replicated planes tuple on accelerators or the
     (packed orbit, bla_packed, bla_offsets) triple on CPU."""
     quad = scene.power == 2 and scene.algo in ("mandelbrot", "julia")
-    other = (scene.algo in ("burningship", "tricorn")
-             or (scene.algo == "multibrot" and scene.power >= 2))
-    if not (quad or other):
+    if not perturb_supported(scene.algo, scene.power):
         raise ValueError(
-            f"perturbation supports quadratic mandelbrot/julia, multibrot "
-            f"z^d+c, burning ship, and tricorn — not {scene.algo} "
-            f"(power {scene.power}); use ds32/dd64")
+            f"perturbation supports the z^d+c family (mandelbrot/julia/"
+            f"multibrot, d >= 2), burning ship, and tricorn — not "
+            f"{scene.algo} (power {scene.power}); use ds32/dd64")
     extreme = _is_extreme(scene)
     if extreme and not quad:
         raise ValueError(
@@ -2526,7 +2530,7 @@ def render_perturb(scene, fast: bool = False):
             julia=scene.algo == "julia", glitch=True,
         )
     elif on_accel:
-        pw = scene.power if scene.algo == "multibrot" else 2
+        pw = eff_power(scene.algo, scene.power)
         if fast:
             img, _, _, _, _, _ = _render_perturb_pallas_jit(
                 scene, dev, P, ns, height=h,
@@ -2549,7 +2553,7 @@ def render_perturb(scene, fast: bool = False):
             scene, packed, P, ns,
             height=h, width=w, chunk=chunk,
             bla_packed=bla_packed, bla_offsets=bla_offsets,
-            power=scene.power if scene.algo == "multibrot" else 2,
+            power=eff_power(scene.algo, scene.power),
             algo=scene.algo, extreme=_is_extreme(scene),
         )
         if fast:
@@ -2606,7 +2610,7 @@ def render_perturb(scene, fast: bool = False):
                 julia=scene.algo == "julia",
                 use_pallas=on_accel and cached[3] is not None,
                 planes_list=cached[3],
-                power=scene.power if scene.algo == "multibrot" else 2,
+                power=eff_power(scene.algo, scene.power),
                 algo=scene.algo, extreme=_is_extreme(scene),
             )
             RENDER_STATS["n_residual"] = int(nres)
@@ -2643,7 +2647,7 @@ def render_perturb(scene, fast: bool = False):
         julia=scene.algo == "julia",
         use_pallas=on_accel and planes_list is not None,
         planes_list=planes_list,
-        power=scene.power if scene.algo == "multibrot" else 2,
+        power=eff_power(scene.algo, scene.power),
         algo=scene.algo, extreme=_is_extreme(scene),
     )
     _cache_put(_FIX_CACHE, fkey, (gl != 0, zr2, zi2, cnt2, n),
@@ -2741,7 +2745,7 @@ def render_perturb_band(scene, start_row: int, rows: int,
         zr, zi, cnt, gl = _perturb_band_pallas_jit(
             scene, dev, P, ns, start, rows=rows, width=w,
             julia=scene.algo == "julia", glitch=not fast,
-            power=scene.power if scene.algo == "multibrot" else 2,
+            power=eff_power(scene.algo, scene.power),
             algo=scene.algo,
         )
     else:
@@ -2751,7 +2755,7 @@ def render_perturb_band(scene, start_row: int, rows: int,
             chunk=(PERT_CHUNK if jax.default_backend() not in ("cpu",)
                    else PERT_CHUNK_CPU),
             bla_packed=bla_packed, bla_offsets=bla_offsets,
-            power=scene.power if scene.algo == "multibrot" else 2,
+            power=eff_power(scene.algo, scene.power),
             algo=scene.algo, extreme=_is_extreme(scene),
         )
     if not fast:

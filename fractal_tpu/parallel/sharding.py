@@ -37,6 +37,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from fractal_tpu.config import Scene
+from fractal_tpu.models.rules import eff_power
 from fractal_tpu.ops import coloring
 from fractal_tpu.ops.escape_pallas import iterate_params, scene_params
 
@@ -311,7 +312,7 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None,
             planes, P, ns, scene.iterations, h, w, mesh,
             julia=scene.algo == "julia", glitch=not fast,
             interpret=jax.default_backend() in ("cpu",),
-            power=scene.power if scene.algo == "multibrot" else 2,
+            power=eff_power(scene.algo, scene.power),
             algo=scene.algo,
         )
     else:
@@ -319,7 +320,7 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None,
         zr, zi, cnt, gl = _perturb_sharded_jit(
             packed, P, ns, scene.iterations, h, w,
             jax.default_backend() not in ("cpu",), mesh,
-            power=scene.power if scene.algo == "multibrot" else 2,
+            power=eff_power(scene.algo, scene.power),
             algo=scene.algo, extreme=_is_extreme(scene),
         )
     if not fast:

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fractal_tpu.config import Scene
-from fractal_tpu.models.rules import get_rule
+from fractal_tpu.models.rules import get_rule, perturb_supported
 from fractal_tpu.ops import coloring, viewport
 from fractal_tpu.ops.escape_jnp import iterate
 
@@ -60,12 +60,8 @@ def resolve_precision(scene: Scene) -> str:
     spacing = scene.pixel_spacing / scene.supersample
     if spacing > F32_SPACING_LIMIT:
         return "f32"
-    if (
-        ((scene.algo in ("mandelbrot", "julia") and scene.power == 2)
-         or scene.algo in ("burningship", "tricorn")
-         or (scene.algo == "multibrot" and scene.power >= 2))
-        and spacing <= PERTURB_SPACING_LIMIT
-    ):
+    if (perturb_supported(scene.algo, scene.power)
+            and spacing <= PERTURB_SPACING_LIMIT):
         return "perturb"
     if jax.default_backend() != "cpu":
         return "ds32"
@@ -172,14 +168,11 @@ def _render_band_jit(scene: Scene, params, precision: str, interpret: bool,
 def _render_escape(scene: Scene, backend: str = "auto"):
     precision = resolve_precision(scene)
     if precision in ("perturb", "p32"):
-        quad = scene.power == 2 and scene.algo in ("mandelbrot", "julia")
-        other = (scene.algo in ("burningship", "tricorn")
-                 or (scene.algo == "multibrot" and scene.power >= 2))
-        if not (quad or other):
+        if not perturb_supported(scene.algo, scene.power):
             raise ValueError(
-                f"perturbation supports quadratic mandelbrot/julia, "
-                f"multibrot z^d+c, burning ship, and tricorn — not "
-                f"{scene.algo} (power {scene.power}); use ds32/dd64")
+                f"perturbation supports the z^d+c family (mandelbrot/"
+                f"julia/multibrot, d >= 2), burning ship, and tricorn — "
+                f"not {scene.algo} (power {scene.power}); use ds32/dd64")
         from fractal_tpu.ops.perturb import render_perturb
 
         # p32 — the explicit fast tier: f32 δ-orbits against the exact

@@ -153,20 +153,20 @@ def test_main_render_error_exits_cleanly():
     from fractal_tpu.__main__ import main
 
     with pytest.raises(SystemExit) as ei:
-        main("16 12 --precision p32 -a julia --power 3 --julia-real -0.8 "
+        main("16 12 --precision p32 -a julia --power 1 --julia-real -0.8 "
              "--julia-imaginary 0.156 --format png -o /tmp/never".split())
     assert str(ei.value).startswith("error: perturbation supports")
 
 
 def test_perturb_rejects_unsupported_rule():
-    """julia with a non-quadratic power has no delta-recurrence (julia
-    rules are quadratic; bs/tricorn/multibrot are covered): must raise,
-    not silently render garbage."""
+    """A sub-quadratic power has no delta-recurrence (z^1 + c is affine —
+    not an escape-time fractal; powers >= 2 are all covered since r3):
+    must raise, not silently render garbage."""
     import pytest
     from fractal_tpu.config import Scene
     from fractal_tpu.render import render_u8
 
-    scene = Scene(algo="julia", power=3, julia_set=(-0.8, 0.156),
+    scene = Scene(algo="julia", power=1, julia_set=(-0.8, 0.156),
                   width=16, height=12, iterations=20, precision="perturb")
     with pytest.raises(ValueError, match="perturbation supports"):
         render_u8(scene)

@@ -121,14 +121,17 @@ def test_burning_ship_and_tricorn_rules():
 
 
 def test_multibrot_power_matches_complex_pow():
-    rule = get_rule("multibrot", power=5)
-    z = 0.7 + 0.3j
-    c = -0.2 + 0.1j
-    zr, zi = rule(jnp.asarray([z.real]), jnp.asarray([z.imag]),
-                  jnp.asarray([c.real]), jnp.asarray([c.imag]))
-    want = z ** 5 + c
-    assert np.isclose(float(zr[0]), want.real, rtol=1e-12)
-    assert np.isclose(float(zi[0]), want.imag, rtol=1e-12)
+    # --power is honored by the whole z^d family (multibrot by definition;
+    # mandelbrot/julia via the r3 extension) — all three must share the rule
+    for algo in ("multibrot", "mandelbrot", "julia"):
+        rule = get_rule(algo, power=5)
+        z = 0.7 + 0.3j
+        c = -0.2 + 0.1j
+        zr, zi = rule(jnp.asarray([z.real]), jnp.asarray([z.imag]),
+                      jnp.asarray([c.real]), jnp.asarray([c.imag]))
+        want = z ** 5 + c
+        assert np.isclose(float(zr[0]), want.real, rtol=1e-12), algo
+        assert np.isclose(float(zi[0]), want.imag, rtol=1e-12), algo
 
 
 def test_periodicity_detection_matches_plain():

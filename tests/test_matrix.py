@@ -22,6 +22,11 @@ CASES = [
     dict(algo="tricorn", precision="ds32"),
     dict(algo="multibrot", power=3, precision="f32"),
     dict(algo="multibrot", power=5, precision="ds32"),
+    dict(algo="julia", power=3, julia_set=(0.443046379971365, 0.558308536),
+         precision="f32"),                                  # julia z^3
+    dict(algo="julia", power=4, julia_set=(0.443046379971365, 0.558308536),
+         precision="ds32"),                                 # julia z^4 ds
+    dict(algo="mandelbrot", power=3, precision="ds32"),     # multibrot alias
     dict(algo="mandelbrot", scale=(1e15, 1e15),
          pos=(-0.74364388703715871, 0.13182590420531198)),  # auto→perturb
     dict(algo="julia", julia_set=(-0.8, 0.156), scale=(1e15, 1e15),

@@ -350,8 +350,9 @@ def test_p32_fast_tier_matches_perturb_on_clean_pixels():
 
 
 def test_p32_requires_supported_rule():
+    # z^1 + c is affine — no δ-recurrence (powers >= 2 all supported r3)
     with pytest.raises(ValueError):
-        render_u8(Scene(algo="julia", power=3, julia_set=(-0.8, 0.156),
+        render_u8(Scene(algo="julia", power=1, julia_set=(-0.8, 0.156),
                         width=8, height=8, precision="p32"))
 
 
@@ -718,6 +719,85 @@ def test_multibrot_perturb_e2e_render():
     assert img.std() > 1.0  # structured, not monochrome
 
 
+# --- Julia z^d + c (power extension) perturbation --------------------------
+
+# The f64 value of the z³-multibrot boundary point the multibrot tests pin;
+# as a julia constant it yields a connected cubic julia set whose boundary
+# was bisected (max-escape-count descent) to the centers below.
+_CJ3 = (0.44304637997136526, 0.558308536476846)
+
+
+def test_julia_power3_perturb_shallow_exact():
+    """Cubic julia (z³ + c, δc only through δz₀): forced perturbation on a
+    shallow boundary view must match the direct f64 oracle exactly on the
+    well-conditioned low-count window (measured: 259/259 exact below count
+    150, 99.1 % agreement overall)."""
+    sc = Scene(algo="julia", power=3, width=48, height=36, iterations=400,
+               julia_set=_CJ3, pos=(0.292780200657262, 0.263840774699702),
+               scale=(200.0, 200.0), precision="perturb")
+    _, _, cnt, _ = pt.iterate_perturb(sc, 36, 48, use_pallas=False)
+    cnt = np.asarray(cnt)
+    c64 = _oracle_counts_f64(sc, 48, 36)
+    low = c64 < 150
+    assert low.sum() > 200  # the window must be discriminative
+    np.testing.assert_array_equal(cnt[low], c64[low])
+    assert (cnt != c64).mean() < 0.05
+
+
+def test_julia_power3_perturb_beyond_f64_vs_mpmath():
+    """Cubic julia at 1e15× (far past f64): the view straddles the julia
+    boundary (descended with the exact f64 c — at this depth the fractal
+    is structurally sensitive to c at the 1e-17 level, so the constant
+    must be the f64 value the framework iterates with), resolves a mix of
+    interior and late-escaping pixels, and sampled pixels match 45-digit
+    mpmath."""
+    import mpmath as mp
+
+    w, h = 32, 24
+    sc = Scene(algo="julia", power=3, width=w, height=h, iterations=2500,
+               julia_set=_CJ3,
+               pos_str=("164820600322731/562949953421312",
+                        "445587455483899/1688849860263936"),
+               scale=(1e15, 1e15), inside=False)
+    assert resolve_precision(sc) == "perturb"
+    _, _, cnt, _ = pt.iterate_perturb(sc, h, w, use_pallas=False)
+    cnt = np.asarray(cnt)
+    assert (cnt < 2500).sum() > 100  # escaping filaments in view
+    assert len(np.unique(cnt)) >= 8
+    (Ar, Cr), (Ai, Ci) = pt._affine_fractions(w, h, pt.exact_pos(sc),
+                                              sc.scale)
+    pts = [(0, 0), (31, 23), (8, 17), (20, 5), (16, 12), (3, 21), (28, 9),
+           (11, 2)]
+    exact = 0
+    with mp.workdps(45):
+        c = mp.mpc(mp.mpf(_CJ3[0]), mp.mpf(_CJ3[1]))
+        for x, y in pts:
+            zrf, zif = Ar * x + Cr, Ai * y + Ci
+            z = mp.mpc(mp.mpf(zrf.numerator) / zrf.denominator,
+                       mp.mpf(zif.numerator) / zif.denominator)
+            truth = 2500
+            for i in range(2500):
+                z = z * z * z + c
+                if (z.real * z.real + z.imag * z.imag) > 65536.0 ** 2:
+                    truth = i
+                    break
+            if int(cnt[y, x]) == truth:
+                exact += 1
+    assert exact >= 6, f"only {exact}/8 sampled pixels mpmath-exact"
+
+
+def test_julia_power3_e2e_render_structured():
+    """Full render_u8 of the cubic julia at perturbation depth: the u8
+    output must be structured (both escaped filaments and interior)."""
+    sc = Scene(algo="julia", power=3, width=32, height=24, iterations=2500,
+               julia_set=_CJ3,
+               pos_str=("164820600322731/562949953421312",
+                        "445587455483899/1688849860263936"),
+               scale=(1e15, 1e15), inside=False)
+    img = np.asarray(render_u8(sc))
+    assert img.std() > 10.0
+
+
 # --- Burning ship & tricorn perturbation -----------------------------------
 
 
@@ -1052,7 +1132,7 @@ def _kernel_vs_twin(sc, chunk=16):
     ref, orbit = pt.resolve_reference(sc, w, h)
     P = pt._pert_params(sc, ref, w, h, orbit=orbit)
     ns = jnp.int32(orbit.n_steps)
-    pw = sc.power if sc.algo == "multibrot" else 2
+    pw = pt.eff_power(sc.algo, sc.power)
     twin = pt.perturb_whole_jnp(
         jnp.asarray(orbit.packed), P, ns, iterations=sc.iterations,
         height=h, width=w, chunk=chunk, power=pw, algo=sc.algo)
@@ -1075,6 +1155,12 @@ def test_pallas_v2_kernel_matches_twin_multibrot_tricorn():
               scale=(1e14, 1e14), precision="perturb"),
         Scene(algo="tricorn", width=48, height=36, iterations=250,
               pos=(-0.45, 0.6), scale=(1e13, 1e13), precision="perturb"),
+        # julia z³+c: the Horner branch with δc folded into δz₀ only
+        Scene(algo="julia", power=3, width=48, height=36, iterations=250,
+              julia_set=(0.44304637997136526, 0.558308536476846),
+              pos_str=("61807725121025/211106232532992",
+                       "18130999979/68719476736"),
+              scale=(1e14, 1e14), precision="perturb"),
     ):
         twin, kern = _kernel_vs_twin(sc)
         for name, a, b in zip(("zr", "zi", "cnt", "gl"), twin, kern):

@@ -119,6 +119,12 @@ def test_perturb_sharded_multibrot_bs_match_single_device(mesh):
         Scene(algo="burningship", width=48, height=36, iterations=400,
               pos_str=("-0.45", "-0.8299772176682513"),
               scale=(1e14, 1e14), precision="perturb"),
+        # julia z³+c (r3 --power extension): binomial δ with δc in δz₀ only
+        Scene(algo="julia", power=3, width=48, height=36, iterations=400,
+              julia_set=(0.44304637997136526, 0.558308536476846),
+              pos_str=("164820600322731/562949953421312",
+                       "445587455483899/1688849860263936"),
+              scale=(1e14, 1e14), precision="perturb"),
     ):
         single = np.asarray(render_u8(scene))
         sharded = np.asarray(render_perturb_sharded(scene, mesh))

@@ -143,10 +143,11 @@ def test_tiled_p32_fast_tier_bands(tmp_path):
 
 
 def test_tiled_perturbation_rejects_unsupported_rule(tmp_path):
-    """An explicit perturbation precision on an algo with no δ-recurrence
-    (julia is quadratic-only) must raise on the banded path exactly like
-    the one-shot path — not silently render garbage."""
-    scene = Scene(algo="julia", power=3, julia_set=(-0.8, 0.156), width=16,
+    """An explicit perturbation precision on a rule with no δ-recurrence
+    (z^1 + c is affine; powers >= 2 are all covered since r3) must raise
+    on the banded path exactly like the one-shot path — not silently
+    render garbage."""
+    scene = Scene(algo="julia", power=1, julia_set=(-0.8, 0.156), width=16,
                   height=12, iterations=50, scale=(0.8, 0.8),
                   precision="p32")
     with pytest.raises(ValueError, match="perturbation supports"):
