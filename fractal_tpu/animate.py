@@ -78,12 +78,16 @@ def _batch_leaves(scenes, treedef, dtype):
                 "(algo/dims/iterations/flags); only traced parameters may vary")
         batched.append(leaves)
     # stack on the HOST, one device transfer per leaf — per-frame jnp ops
-    # would pay the tunnel's dispatch latency frames×leaves times
+    # would pay the tunnel's dispatch latency frames×leaves times.
+    # Extreme-depth scale leaves overflow the f32 cast to inf; that leaf is
+    # never consumed device-side (the fe params carry the affine), so the
+    # overflow is expected, not a lost value.
     np_dt = np.float64 if dtype == jnp.float64 else np.float32
-    return [
-        jnp.asarray(np.stack([np.asarray(f[i], np_dt) for f in batched]))
-        for i in range(len(batched[0]))
-    ]
+    with np.errstate(over="ignore"):
+        return [
+            jnp.asarray(np.stack([np.asarray(f[i], np_dt) for f in batched]))
+            for i in range(len(batched[0]))
+        ]
 
 
 def render_sweep(scenes: Sequence[Scene], device_resident: bool = False):
@@ -132,14 +136,18 @@ def render_sweep(scenes: Sequence[Scene], device_resident: bool = False):
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "julia",
                                              "on_accel", "treedef",
-                                             "glitch", "power", "algo"))
+                                             "glitch", "power", "algo",
+                                             "extreme", "fe_kernel"))
 def _zoom_sweep_jit(scene: Scene, leaves_batched, params_batched, planes,
                     orbit_packed, n_steps, treedef, *, height: int,
                     width: int, julia: bool, on_accel: bool,
                     glitch: bool = False, power: int = 2,
-                    algo: str = "mandelbrot"):
+                    algo: str = "mandelbrot", extreme: bool = False,
+                    fe_kernel: bool = False):
     from fractal_tpu.ops.perturb import (
+        PERT_CHUNK,
         PERT_CHUNK_CPU,
+        perturb_pallas_fe,
         perturb_pallas_v2,
         perturb_whole_jnp,
     )
@@ -148,7 +156,20 @@ def _zoom_sweep_jit(scene: Scene, leaves_batched, params_batched, planes,
     def one_frame(args):
         leaves, P = args
         sc = jax.tree_util.tree_unflatten(treedef, leaves)
-        if on_accel:
+        if extreme:
+            # floatexp δ-orbits (P in the _pert_params_fe layout): the fe
+            # Pallas kernel when the planes fit VMEM, else the XLA fe twin
+            if fe_kernel:
+                zr, zi, cnt, gl = perturb_pallas_fe(
+                    planes, P, n_steps, iterations=scene.iterations,
+                    height=height, width=width, julia=julia, glitch=glitch)
+            else:
+                zr, zi, cnt, gl = perturb_whole_jnp(
+                    orbit_packed, P, n_steps, iterations=scene.iterations,
+                    height=height, width=width,
+                    chunk=PERT_CHUNK if on_accel else PERT_CHUNK_CPU,
+                    extreme=True)
+        elif on_accel:
             zr, zi, cnt, gl = perturb_pallas_v2(
                 planes, P, n_steps, iterations=scene.iterations,
                 height=height, width=width, julia=julia, glitch=glitch,
@@ -175,7 +196,11 @@ def render_zoom_sweep(scene: Scene, scales: Sequence[float],
     center's c is identical at every zoom level, so the same orbit serves
     all frames; only the per-frame viewport constants (δc gain) change.
     Every perturbation algo is supported (quadratic mandelbrot/julia,
-    multibrot z^d+c, burning ship, tricorn — r3).  By default frames run
+    multibrot z^d+c, burning ship, tricorn — r3), and sweeps whose deepest
+    frame passes the f32-δc wall (~1e30×) run the whole sweep through the
+    floatexp program (quadratic only, like stills — the fe parameter
+    layout's (mantissa, exponent) affine gains are exact at any depth,
+    where the plain f32 viewport gain would underflow).  By default frames run
     the p32 quality envelope (f32 δ-orbits, no glitch fallback — see
     PERF.md); at shallow zoom f32 is exact-grade anyway, and past 1e6×
     the classification stays >99.9 % with boundary texture noise.  Fast
@@ -201,14 +226,16 @@ def render_zoom_sweep(scene: Scene, scales: Sequence[float],
             f"zoom sweeps support the z^d+c family (mandelbrot/julia/"
             f"multibrot, d >= 2), burning ship, and tricorn — not "
             f"{scene.algo} (power {scene.power})")
-    from fractal_tpu.ops.perturb import _is_extreme
+    from fractal_tpu.ops.perturb import _is_extreme, _planes_fit
 
     deepest_probe = scene.replace(scale=(max(abs(float(s)) for s in scales),) * 2)
-    if _is_extreme(deepest_probe):
+    extreme = _is_extreme(deepest_probe)
+    if extreme and not (scene.power == 2
+                        and scene.algo in ("mandelbrot", "julia")):
         raise ValueError(
-            "zoom sweeps reach the floatexp depth regime (past ~1e30x); "
-            "the batched sweep's f32 viewport params cannot represent it — "
-            "render those frames individually")
+            "zoom sweeps past ~1e30x (floatexp δ-orbits) support quadratic "
+            f"mandelbrot/julia only, not {scene.algo} "
+            f"(power {scene.power})")
     ss = scene.supersample
     h, w = scene.height * ss, scene.width * ss
     smax = max(float(s) for s in scales)
@@ -234,14 +261,27 @@ def render_zoom_sweep(scene: Scene, scales: Sequence[float],
     # SA-free so clean frames keep the bit-for-still contract (the still's
     # SA is computed against ITS chosen reference, not the sweep center)
     sa_orbit = None if exact else orbit
-    params_batched = jnp.stack(
-        [_pert_params(f, ref, w, h, orbit=sa_orbit) for f in frames])
+    if extreme:
+        # the WHOLE sweep runs the floatexp program (uniform tier — one
+        # frame past the wall upgrades every frame, like the precision
+        # ladder): the fe parameter layout carries the affine gains as
+        # (mantissa, exponent) pairs, which the batched f32 P rows
+        # represent exactly at any depth.  No SA slots — the fe tile has
+        # no series-approximation path.
+        from fractal_tpu.ops.perturb import _pert_params_fe
+
+        params_batched = jnp.stack(
+            [_pert_params_fe(f, ref, w, h) for f in frames])
+    else:
+        params_batched = jnp.stack(
+            [_pert_params(f, ref, w, h, orbit=sa_orbit) for f in frames])
     out, glc = _zoom_sweep_jit(
         scene, leaves_batched, params_batched, planes,
         jnp.asarray(orbit.packed), jnp.int32(orbit.n_steps), treedef,
         height=h, width=w, julia=scene.algo == "julia", on_accel=on_accel,
         glitch=exact, power=eff_power(scene.algo, scene.power),
-        algo=scene.algo)
+        algo=scene.algo, extreme=extreme,
+        fe_kernel=on_accel and _planes_fit(scene.iterations))
     if exact:
         from fractal_tpu.ops.perturb import render_perturb
 

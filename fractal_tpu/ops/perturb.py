@@ -271,7 +271,8 @@ def reuse_reference(scene, width: int, height: int):
     want = (scene.algo, scene.power,
             scene.julia_set if scene.algo == "julia" else None,
             float(scene.limit))
-    for ckey in reversed(list(_C_ORBIT_CACHE.keys())):  # newest first
+    best = None  # (distance², key, (u, v))
+    for ckey in _C_ORBIT_CACHE.keys():
         algo, power, jl, lim, c0r_f, c0i_f = ckey
         if (algo, power, jl, lim) != want:
             continue
@@ -283,9 +284,24 @@ def reuse_reference(scene, width: int, height: int):
         u = (c0r_f - Cr) / Ar
         v = (c0i_f - Ci) / Ai
         if 0 <= u <= width - 1 and 0 <= v <= height - 1:
-            _C_ORBIT_CACHE[ckey] = _C_ORBIT_CACHE.pop(ckey)  # refresh LRU
-            return (float(u), float(v)), _sliced_orbit(orbit,
-                                                       scene.iterations)
+            # prefer the most CENTRAL in-view orbit, not the newest: a
+            # central reference minimizes the view's |δc| spread (the
+            # primary-reference quality metric), and the choice stays
+            # deterministic by geometry rather than by cache history
+            # (e.g. a multiref secondary walked by a previous frame must
+            # not displace the view-center orbit for later frames).  The
+            # center is choose_reference's (w//2, h//2) convention, so an
+            # orbit walked AT the canonical reference pixel scores an
+            # exact 0 and always wins over near-center secondaries.
+            d2 = (float(u) - width // 2) ** 2 \
+                + (float(v) - height // 2) ** 2
+            if best is None or d2 < best[0]:
+                best = (d2, ckey, (float(u), float(v)))
+    if best is not None:
+        _, ckey, uv = best
+        orbit, _ = _C_ORBIT_CACHE[ckey]
+        _C_ORBIT_CACHE[ckey] = _C_ORBIT_CACHE.pop(ckey)  # refresh LRU
+        return uv, _sliced_orbit(orbit, scene.iterations)
     return None
 
 
@@ -1406,7 +1422,7 @@ def perturb_pallas_v2(planes, P, n_steps, *, iterations: int, height: int,
     block = lambda: pl.BlockSpec(
         (tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM
     )
-    plane_space = pltpu.ANY if stream else pltpu.VMEM
+    plane_space = pl.ANY if stream else pltpu.VMEM
     scratch = ()
     if stream:
         scratch = (
@@ -1466,7 +1482,7 @@ def perturb_pallas_v2_points(planes, P, n_steps, dcr, dci, *,
     outi = jax.ShapeDtypeStruct((rows_px, 128), jnp.int32)
     block = lambda: pl.BlockSpec((th, 128), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
-    plane_space = pltpu.ANY if stream else pltpu.VMEM
+    plane_space = pl.ANY if stream else pltpu.VMEM
     scratch = ()
     if stream:
         scratch = (

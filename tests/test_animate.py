@@ -99,20 +99,53 @@ def test_animate_cli_flags():
         parse_options("--animate 8 64 48".split())  # julia sweep needs -a julia
 
 
-def test_zoom_sweep_rejects_extreme_depth():
-    """Past ~1e30x the sweep's f32 viewport params underflow — must raise,
-    not render garbage frames (extreme stills go through the floatexp
-    tile instead)."""
+def test_zoom_sweep_rejects_extreme_depth_nonquadratic():
+    """Past ~1e30x sweeps run the floatexp program, which (like stills) is
+    quadratic-only — a non-quadratic extreme sweep must raise, not render
+    garbage frames."""
     import numpy as np
     import pytest
 
     from fractal_tpu.animate import render_zoom_sweep
     from fractal_tpu.config import Scene
 
-    sc = Scene(width=16, height=12, iterations=100,
+    sc = Scene(algo="burningship", width=16, height=12, iterations=100,
                pos_str=("-2.0", "0.0"), scale=(1e40, 1e40))
     with pytest.raises(ValueError, match="1e30"):
         render_zoom_sweep(sc, np.geomspace(1.0, 1e40, 4))
+
+
+def test_zoom_sweep_extreme_frames_match_stills():
+    """r3: sweeps past the f32-δc wall ride the floatexp program (the fe
+    param layout's (m, e) affine gains stay exact where plain f32 gains
+    underflow).  Exact frames must equal the still render of each zoom
+    level bit-for-bit, spanning the wall mid-sweep."""
+    import numpy as np
+
+    from fractal_tpu.animate import render_zoom_sweep
+    from fractal_tpu.config import Scene
+    from fractal_tpu.ops.perturb import render_perturb
+
+    sc = Scene(width=24, height=16, iterations=300,
+               pos_str=("-1.9999999999999999999999999999999999999999999"
+                        "91", "0.0"),
+               scale=(1e44, 1e44), inside=False)
+    scales = [1e38, 1e44]
+    frames = render_zoom_sweep(sc, scales, exact=True)
+    assert frames.shape == (2, 16, 24, 3)
+    # the stills REUSE the sweep's deepest-walk orbit (central-preferring
+    # cross-view reuse): a fresh re-walk at the shallower frame's fewer
+    # mpmath digits would shadow a different chaotic tail — bit-for-still
+    # holds through the shared orbit, exactly like interactive pans
+    for i, s in enumerate(scales):
+        still = np.asarray(render_perturb(
+            sc.replace(scale=(float(s), float(s))), fast=False))
+        np.testing.assert_array_equal(frames[i], still,
+                                      err_msg=f"scale {s}")
+    assert np.asarray(frames[1]).std() > 1.0  # deep frame structured
+    # (the fast tier runs the same batched fe program with glitch
+    # detection off — not separately compiled here: each fe program
+    # shape costs a full per-process Mosaic/XLA compile)
 
 
 def test_zoom_sweep_exact_frames_match_stills():
