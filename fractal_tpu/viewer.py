@@ -379,6 +379,7 @@ _PAGE = """<!doctype html>
  <label>w <input id="w" type="number" min="16" step="16"></label>
  <label>h <input id="h" type="number" min="16" step="16"></label>
  <label>iters <input id="iters" type="number" min="1"></label>
+ <label id="pwlab">power <input id="pw" type="number" min="2" step="1" style="width:46px"></label>
  <label>exposure <input id="exp" type="range" min="-2" max="3" step="0.01"></label>
  <label>weight <input id="wgt" type="range" min="-4" max="0" step="0.01"></label>
  <label><input id="inside" type="checkbox">inside</label>
@@ -409,6 +410,10 @@ function syncControls() {
   $('wgt').value = Math.log10(scene.color_weight);
   $('inside').checked = scene.inside; $('smooth').checked = scene.smooth;
   $('fast').checked = scene.precision === 'p32';
+  // the z^d exponent applies to the whole mandelbrot/julia/multibrot family
+  $('pw').value = scene.power;
+  $('pwlab').style.display =
+      ['mandelbrot','julia','multibrot'].includes(scene.algo) ? 'flex' : 'none';
   // p32 pairs with every perturbable recurrence (VERDICT r2 weak 6)
   $('fastlab').style.display =
       ['mandelbrot','julia','multibrot','burningship','tricorn']
@@ -460,6 +465,8 @@ $('algo').onchange = async e => {   // reset ALL settings (gui.rs:334-339)
 $('w').onchange = e => { scene.width = +e.target.value; push(); };
 $('h').onchange = e => { scene.height = +e.target.value; push(); };
 $('iters').onchange = e => { scene.iterations = +e.target.value; push(); };
+$('pw').onchange = e => {
+  scene.power = Math.max(2, Math.round(+e.target.value)); push(); };
 $('exp').oninput = e => { scene.exposure = Math.pow(10, +e.target.value); push(); };
 $('wgt').oninput = e => { scene.color_weight = Math.pow(10, +e.target.value); push(); };
 $('inside').onchange = e => { scene.inside = e.target.checked; push(); };

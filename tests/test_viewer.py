@@ -157,6 +157,30 @@ def test_config_accepts_p32_fast_preview(server):
     _drain(server, g1)               # queue empty before module teardown
 
 
+def test_config_accepts_power(server):
+    """The z^d exponent control (r3): a julia power-3 config must
+    round-trip through /config and render (the power field passes through
+    scene_from_dict untouched)."""
+    scene = json.loads(_get(server, "/scene")[1])
+    g0 = int(_get(server, "/image")[0]["X-Gen"])
+    scene["algo"] = "julia"
+    scene["power"] = 3
+    scene["julia_set"] = [0.44304637997136526, 0.558308536476846]
+    scene["pos"] = [0.29278020065726197, 0.26384077469970184]
+    scene["scale"] = [200.0, 200.0]
+    _post(server, "/config", scene)
+    out = json.loads(_get(server, "/scene")[1])
+    assert out["power"] == 3 and out["algo"] == "julia"
+    g1 = _drain(server, g0)          # the cubic julia render completed
+    scene["algo"] = "mandelbrot"
+    scene["power"] = 2
+    scene["pos"] = [-0.6, 0.0]
+    scene["scale"] = [0.4, 0.4]
+    scene["julia_set"] = [-0.8, 0.156]
+    _post(server, "/config", scene)
+    _drain(server, g1)               # queue empty before module teardown
+
+
 def test_pos_endpoint_exact_roundtrip_at_depth(server):
     """VERDICT r2 missing 1: numeric pos/scale editing.  A typed 1e20×
     center must round-trip EXACTLY (the strings become pos_str, not f64)."""
