@@ -158,7 +158,8 @@ def _zoom_sweep_jit(scene: Scene, leaves_batched, params_batched, planes,
         sc = jax.tree_util.tree_unflatten(treedef, leaves)
         if extreme:
             # floatexp δ-orbits (P in the _pert_params_fe layout): the fe
-            # Pallas kernel when the planes fit VMEM, else the XLA fe twin
+            # Pallas kernel on accelerators (streams the planes past the
+            # VMEM cap automatically), the XLA fe twin on CPU
             if fe_kernel:
                 zr, zi, cnt, gl = perturb_pallas_fe(
                     planes, P, n_steps, iterations=scene.iterations,
@@ -226,7 +227,7 @@ def render_zoom_sweep(scene: Scene, scales: Sequence[float],
             f"zoom sweeps support the z^d+c family (mandelbrot/julia/"
             f"multibrot, d >= 2), burning ship, and tricorn — not "
             f"{scene.algo} (power {scene.power})")
-    from fractal_tpu.ops.perturb import _is_extreme, _planes_fit
+    from fractal_tpu.ops.perturb import _is_extreme
 
     deepest_probe = scene.replace(scale=(max(abs(float(s)) for s in scales),) * 2)
     extreme = _is_extreme(deepest_probe)
@@ -281,7 +282,7 @@ def render_zoom_sweep(scene: Scene, scales: Sequence[float],
         height=h, width=w, julia=scene.algo == "julia", on_accel=on_accel,
         glitch=exact, power=eff_power(scene.algo, scene.power),
         algo=scene.algo, extreme=extreme,
-        fe_kernel=on_accel and _planes_fit(scene.iterations))
+        fe_kernel=on_accel)
     if exact:
         from fractal_tpu.ops.perturb import render_perturb
 

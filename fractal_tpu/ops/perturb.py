@@ -80,14 +80,11 @@ EXTREME_SPACING_LIMIT = 1e-30
 
 # The planes kernels keep the whole lane-replicated orbit resident in VMEM
 # (3 planes x rows x 128 lanes x 4 B); past ~10.5k rows the v5e 16 MB
-# scoped-vmem budget OOMs at compile.  Budgets beyond this run the XLA
-# twin (which streams the packed table from HBM) until the kernels learn
-# to double-buffer plane chunks through DMA.
+# scoped-vmem budget OOMs at compile.  Budgets beyond this switch to the
+# HBM-streaming kernel variants (planes in pl.ANY, double-buffered
+# (chunk+1, 128) blocks DMAed through VMEM scratch) — both the v2 and fe
+# kernels stream, so no budget falls back to the XLA twin on TPU.
 PLANES_ROWS_MAX = 10_500
-
-
-def _planes_fit(iterations: int) -> bool:
-    return iterations + max(CHUNK, PERT_CHUNK) <= PLANES_ROWS_MAX
 
 
 def _is_extreme(scene) -> bool:
@@ -1527,7 +1524,7 @@ PERT_CHUNK_FE = 8
 
 def _build_pert_kernel_fe(iterations: int, tile_h: int, tile_w: int,
                           chunk: int, julia: bool, glitch: bool,
-                          points: bool = False):
+                          points: bool = False, stream: bool = False):
     """Extreme-depth (≥~1e30×) δ-orbit Pallas kernel: the quadratic
     recurrence in floatexp (f32 mantissa + i32 exponent) arithmetic —
     VERDICT r2 weak 3's last gap.  Same plane layout and freeze/epilogue
@@ -1535,12 +1532,20 @@ def _build_pert_kernel_fe(iterations: int, tile_h: int, tile_w: int,
     fx op mirrors ``_perturb_tile_fe``'s expressions (frexp/ldexp lower to
     exponent bit ops in Mosaic), so kernel and twin stay value-identical.
     No series-approximation start (the fe parameter layout carries the
-    affine exponents in the SA slots — see ``_pert_params_fe``)."""
+    affine exponents in the SA slots — see ``_pert_params_fe``).
+
+    ``stream=True`` lifts the VMEM plane cap exactly like the v2 kernel:
+    planes stay in HBM, each (chunk+1, 128) block double-buffers through
+    VMEM scratch with async DMA, and the arithmetic is untouched — the
+    stream/resident variants stay bit-identical (the fe state lives in
+    registers either way; only the plane transport changes)."""
     from fractal_tpu.ops import floatexp as fx
 
     n_chunks = _cdiv(max(iterations, 1), chunk)
 
     def kernel(ns_ref, p_ref, zr2_ref, zi2_ref, gt_ref, *rest):
+        if stream:
+            *rest, sbr, sbi, sbg, sems = rest
         if points:
             # arbitrary-pixel mode: δc arrives pre-computed as floatexp
             # component (m, e) blocks (the affine is applied by the caller)
@@ -1580,23 +1585,69 @@ def _build_pert_kernel_fe(iterations: int, tile_h: int, tile_w: int,
 
         dzr = dcr
         dzi = dci
-        zfr = 0.5 * zr2_ref[pl.ds(0, 1), :] + fx.to_float(dzr)
-        zfi = 0.5 * zi2_ref[pl.ds(0, 1), :] + fx.to_float(dzi)
-        d0 = zfr * zfr + zfi * zfi
         cnt0 = jnp.zeros(shape, jnp.int32)
         inf = jnp.float32(jnp.inf)
         rows = zr2_ref.shape[0]
 
+        if stream:
+            # HBM planes: every block access goes through the (2, chunk+1,
+            # 128) double-buffered VMEM scratch (v2 design, see
+            # _build_pert_kernel_v2).  plane_dmas(k) describes chunk k's
+            # copies into slot k%2.
+            def plane_dmas(k):
+                start = jnp.minimum(k * chunk, rows - (chunk + 1))
+                slot = jax.lax.rem(k, jnp.int32(2))
+                ds = [pltpu.make_async_copy(
+                          zr2_ref.at[pl.ds(start, chunk + 1), :],
+                          sbr.at[slot], sems.at[slot, 0]),
+                      pltpu.make_async_copy(
+                          zi2_ref.at[pl.ds(start, chunk + 1), :],
+                          sbi.at[slot], sems.at[slot, 1])]
+                if glitch:
+                    ds.append(pltpu.make_async_copy(
+                        gt_ref.at[pl.ds(start, chunk + 1), :],
+                        sbg.at[slot], sems.at[slot, 2]))
+                return ds
+
+            # warm-up fetch of chunk 0 — also serves the init's Z₀ row
+            # read (the fe kernel always starts at n=0: no SA)
+            for dma in plane_dmas(jnp.int32(0)):
+                dma.start()
+            for dma in plane_dmas(jnp.int32(0)):
+                dma.wait()
+            zfr = 0.5 * sbr[0, pl.ds(0, 1), :] + fx.to_float(dzr)
+            zfi = 0.5 * sbi[0, pl.ds(0, 1), :] + fx.to_float(dzi)
+            # re-arm the pipeline: the loop body expects chunk k's DMA
+            # in flight on entry
+            for dma in plane_dmas(jnp.int32(0)):
+                dma.start()
+        else:
+            zfr = 0.5 * zr2_ref[pl.ds(0, 1), :] + fx.to_float(dzr)
+            zfi = 0.5 * zi2_ref[pl.ds(0, 1), :] + fx.to_float(dzi)
+        d0 = zfr * zfr + zfi * zfi
+
         def chunk_body(carry):
             (dzrm, dzre, dzim, dzie, zfr, zfi, d, cnt), k = carry
             n0 = k * chunk
-            start = jnp.minimum(n0, rows - (chunk + 1))
-            br = zr2_ref[pl.ds(start, chunk + 1), :]
-            bi = zi2_ref[pl.ds(start, chunk + 1), :]
+            if stream:
+                # start chunk k+1 into the other slot, then consume chunk k
+                for dma in plane_dmas(k + 1):
+                    dma.start()
+                for dma in plane_dmas(k):
+                    dma.wait()
+                slot = jax.lax.rem(k, jnp.int32(2))
+                br = sbr[slot]
+                bi = sbi[slot]
+                if glitch:
+                    bg = sbg[slot]
+            else:
+                start = jnp.minimum(n0, rows - (chunk + 1))
+                br = zr2_ref[pl.ds(start, chunk + 1), :]
+                bi = zi2_ref[pl.ds(start, chunk + 1), :]
+                if glitch:
+                    bg = gt_ref[pl.ds(start, chunk + 1), :]
             hbr = 0.5 * br
             hbi = 0.5 * bi
-            if glitch:
-                bg = gt_ref[pl.ds(start, chunk + 1), :]
             state = (dzrm, dzre, dzim, dzie, zfr, zfi, d, cnt)
             for i in range(chunk):
                 dzrm, dzre, dzim, dzie, zfr, zfi, d, cnt = state
@@ -1634,11 +1685,18 @@ def _build_pert_kernel_fe(iterations: int, tile_h: int, tile_w: int,
             n = k * chunk
             return (k < n_chunks) & (n < n_steps) & jnp.any(d <= limit_sq)
 
-        (dzrm, dzre, dzim, dzie, zfr, zfi, d, cnt), _ = jax.lax.while_loop(
+        (dzrm, dzre, dzim, dzie, zfr, zfi, d, cnt), k_end = jax.lax.while_loop(
             chunk_cond, chunk_body,
             ((dzr[0], dzr[1], dzi[0], dzi[1], zfr, zfi, d0, cnt0),
              jnp.int32(0)),
         )
+        if stream:
+            # drain: exactly one fetch is outstanding — chunk k_end (the
+            # re-armed chunk 0 if the loop never entered, else the last
+            # body's k+1 prefetch); scratch semaphores must be zero at
+            # kernel exit or the TPU runtime aborts the program
+            for dma in plane_dmas(k_end):
+                dma.wait()
         glitched = d == inf
         escaped = d > limit_sq
         cnt = jnp.maximum(cnt - escaped, 0)
@@ -1654,17 +1712,24 @@ def _build_pert_kernel_fe(iterations: int, tile_h: int, tile_w: int,
 @functools.partial(
     jax.jit, static_argnames=("iterations", "height", "width", "julia",
                               "glitch", "tile_h", "tile_w", "chunk",
-                              "interpret")
+                              "interpret", "stream")
 )
 def perturb_pallas_fe(planes, P, n_steps, *, iterations: int, height: int,
                       width: int, julia: bool = False, glitch: bool = True,
                       tile_h: int = TILE_H, tile_w: int = TILE_W,
-                      chunk: int = PERT_CHUNK_FE, interpret: bool = False):
+                      chunk: int = PERT_CHUNK_FE, interpret: bool = False,
+                      stream: bool = None):
     """Extreme-depth floatexp δ-orbit Pallas kernel (grid mode) — same
     call shape as ``perturb_pallas_v2``; P uses the fe layout
-    (``_pert_params_fe``)."""
+    (``_pert_params_fe``).  Plane tables beyond PLANES_ROWS_MAX rows
+    switch to the HBM-streaming variant automatically (same double-
+    buffered DMA design as v2), so extreme-depth budgets past ~10.4k
+    iterations run at kernel speed instead of falling to the XLA fe
+    twin."""
+    if stream is None:
+        stream = planes[0].shape[0] > PLANES_ROWS_MAX
     kernel = _build_pert_kernel_fe(iterations, tile_h, tile_w, chunk,
-                                   julia, glitch)
+                                   julia, glitch, stream=stream)
     n_steps = jnp.asarray(n_steps, jnp.int32).reshape(1)
     grid = (_cdiv(height, tile_h), _cdiv(width, tile_w))
     outf = jax.ShapeDtypeStruct((height, width), jnp.float32)
@@ -1672,18 +1737,28 @@ def perturb_pallas_fe(planes, P, n_steps, *, iterations: int, height: int,
     block = lambda: pl.BlockSpec(
         (tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM
     )
+    plane_space = pl.ANY if stream else pltpu.VMEM
+    scratch = ()
+    if stream:
+        scratch = (
+            pltpu.VMEM((2, chunk + 1, 128), jnp.float32),
+            pltpu.VMEM((2, chunk + 1, 128), jnp.float32),
+            pltpu.VMEM((2, chunk + 1, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        )
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=plane_space),
+            pl.BlockSpec(memory_space=plane_space),
+            pl.BlockSpec(memory_space=plane_space),
         ],
         out_specs=(block(), block(), block(), block()),
         out_shape=(outf, outf, outi, outi),
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=90 * iterations * height * width,
             bytes_accessed=height * width * 16 + iterations * 12 * 128,
@@ -2528,7 +2603,6 @@ def render_perturb(scene, fast: bool = False):
     # (dev[1] carries the table exactly when _perturb_setup engaged it)
     fe_accel = (_is_extreme(scene)
                 and jax.default_backend() not in ("cpu",)
-                and _planes_fit(scene.iterations)
                 and dev[1] is None)
     if fe_accel:
         # the floatexp Pallas kernel runs the main grid (bit-identical to
@@ -2748,7 +2822,6 @@ def render_perturb_band(scene, start_row: int, rows: int,
     start = jnp.float32(start_row)
     fe_accel = (_is_extreme(scene)
                 and jax.default_backend() not in ("cpu",)
-                and _planes_fit(scene.iterations)
                 and dev[1] is None)
     if fe_accel:
         planes = _planes_for(scene, orbit, ref_px, w, h, fast)

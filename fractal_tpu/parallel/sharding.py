@@ -290,10 +290,7 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None,
     h, w, on_accel, ref_px, orbit, P, _, dev = _perturb_setup(scene, fast)
     ns = jnp.asarray([orbit.n_steps], jnp.int32)
     use_pallas = on_accel if use_pallas is None else use_pallas
-    from fractal_tpu.ops.perturb import _planes_fit
-
     fe_accel = (_is_extreme(scene)
-                and _planes_fit(scene.iterations)
                 and (jax.default_backend() not in ("cpu",)
                      or use_pallas is True))
     if fe_accel:

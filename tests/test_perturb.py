@@ -1243,3 +1243,37 @@ def test_pallas_v2_stream_kernel_matches_resident():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(res),
                                       err_msg=f"twin:{name}")
     assert len(np.unique(np.asarray(twin[2]))) > 3
+
+
+def test_pallas_fe_stream_kernel_matches_resident():
+    """The fe (extreme-depth) kernel streams its planes past the VMEM cap
+    exactly like v2 (r3): the stream/resident variants and the XLA fe
+    twin must stay bit-identical — only the plane transport changes, the
+    floatexp arithmetic is untouched."""
+    sc = Scene(width=24, height=16, iterations=200,
+               pos_str=("-1.9999999999999999999999999999999999999999999"
+                        "91", "0.0"),
+               scale=(1e44, 1e44))
+    assert pt._is_extreme(sc)
+    w, h = sc.width, sc.height
+    ref, orbit = pt.resolve_reference(sc, w, h)
+    P = pt._pert_params_fe(sc, ref, w, h)
+    ns = jnp.int32(orbit.n_steps)
+    twin = pt.perturb_whole_jnp(
+        jnp.asarray(orbit.packed), P, ns, iterations=sc.iterations,
+        height=h, width=w, chunk=pt.PERT_CHUNK_CPU, extreme=True)
+    planes = pt.orbit_planes(orbit)
+    outs = {}
+    for stream in (False, True):
+        outs[stream] = pt.perturb_pallas_fe(
+            planes, P, ns, iterations=sc.iterations, height=h, width=w,
+            julia=False, glitch=True, interpret=True, chunk=4,
+            stream=stream)
+    for name, res, strm in zip(("zr", "zi", "cnt", "gl"), outs[False],
+                               outs[True]):
+        np.testing.assert_array_equal(np.asarray(res), np.asarray(strm),
+                                      err_msg=f"stream:{name}")
+    for name, a, res in zip(("zr", "zi", "cnt", "gl"), twin, outs[False]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(res),
+                                      err_msg=f"twin:{name}")
+    assert len(np.unique(np.asarray(twin[2]))) > 3
