@@ -143,6 +143,14 @@ def longtail_configs():
             pos_str=(_MINIBROT_1E40_X, _MINIBROT_1E40_Y),
             scale=(1e40, 1e40), inside=False,
         ),
+        # 11k-iteration budget past PLANES_ROWS_MAX: the HBM-streaming fe
+        # kernel (r3 — 70.0 ms vs 1387 ms XLA twin on v5e)
+        "extreme_768x512_1e44_11k_stream": Scene(
+            width=768, height=512, iterations=11000,
+            pos_str=("-1.9999999999999999999999999999999999999999999"
+                     "91", "0.0"),
+            scale=(1e44, 1e44), inside=False,
+        ),
     }
 
 

@@ -4,10 +4,21 @@ main() dispatch (src/main.rs:4-23): GUI when -g, else batch render + encode.
 
 from __future__ import annotations
 
+import os
 import sys
 
-from fractal_tpu.cli import parse_options
-from fractal_tpu.utils.timing import Phases
+# Platform override BEFORE any backend init: some PJRT plugins (the
+# tunneled TPU here) register regardless of JAX_PLATFORMS, so the env var
+# alone cannot force CPU — only the pre-init config update can (same
+# mechanism as tests/conftest.py).
+_plat = os.environ.get("FRACTAL_TPU_PLATFORM")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
+from fractal_tpu.cli import parse_options  # noqa: E402
+from fractal_tpu.utils.timing import Phases  # noqa: E402
 
 
 def main(argv=None) -> int:

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from fractions import Fraction
 from typing import NamedTuple, Tuple
 
@@ -1049,6 +1050,12 @@ def _series_init(P, dcr, dci):
     return dzr, dzi, P[8].astype(jnp.int32)
 
 
+# Route BLA-useful extreme views through the per-tile macro-skip Pallas
+# kernel instead of the whole-image BLA twin.  Opt-in until its Mosaic
+# compile time is validated on hardware (the tunnel was down when it
+# landed); the twin default is the measured-good 43.3 ms path.
+FE_BLA_KERNEL = bool(os.environ.get("FRACTAL_TPU_FE_BLA_KERNEL"))
+
 BLA_MIN_LEVEL = 6  # smallest stored skip = 64 = PERT_CHUNK, so skips always
 #                    beat plain chunks and stay chunk-aligned
 
@@ -1776,6 +1783,257 @@ def perturb_pallas_fe(planes, P, n_steps, *, iterations: int, height: int,
         ),
         interpret=interpret,
     )(n_steps, P, *planes)
+
+
+def _build_pert_kernel_fe_bla(iterations: int, tile_h: int, tile_w: int,
+                              chunk: int, julia: bool, glitch: bool,
+                              bla_offsets, bla_min_level: int,
+                              skip_scans: int = 1):
+    """Extreme-depth fe kernel with BLA macro-skips and a per-TILE
+    validity max (r3).  The XLA BLA twin (``_perturb_tile_bla_fe``) gates
+    every skip on the WHOLE image's max |δz|² — one boundary pixel
+    blocks every contracting region.  Tiles are independent grid programs
+    here, so each (tile_h, tile_w) tile skips as deep as ITS OWN max
+    |δz|² allows: strictly more skips than the twin, same per-entry
+    radius criterion, same validity argument (no escape/glitch inside a
+    valid skip — ops/bla.py).  Because the skip PATTERN differs from the
+    twin's, the correctness oracle is the plain (BLA-off) computation,
+    exactly like the twin's own contract (tests/test_bla.py).
+
+    Count/activity semantics mirror the twin (live ⇔ cnt == n, explicit
+    glitch flag) rather than the lock-step kernel's d-poison freeze:
+    per-tile n jumps leave no global step index to poison against.
+
+    The table rides in SMEM ((rows, 8) f32, ``build_table_fe`` layout:
+    A_re A_im A_e B_re B_im B_e r²_m r²_e) — the level scan is ~2 scalar
+    loads per level plus 6 for the chosen entry, amortized over
+    tile_h·tile_w pixels × skipped steps.  Resident planes only (the
+    budgets where BLA fires sit far below PLANES_ROWS_MAX; streaming's
+    sequential prefetch contradicts skip jumps)."""
+    from fractal_tpu.ops import floatexp as fx
+
+    # Unlike the twin's SKIP_SCANS=4 greedy ruler descent, the kernel
+    # defaults to ONE scan per macro body: a level-k skip keeps n
+    # 2^k-aligned, so consecutive bodies chain same-or-lower-level skips
+    # without a crawl, and Mosaic compile time is super-linear in the
+    # unrolled body size (4 scans + 8 fe steps exceeded 25 min; see
+    # PERF.md's chunk-16 note for the same wall).
+    SKIP_SCANS = skip_scans
+    n_levels = len(bla_offsets)
+
+    def kernel(ns_ref, p_ref, zr2_ref, zi2_ref, gt_ref, bla_ref,
+               zr_ref, zi_ref, cnt_ref, gl_ref):
+        f32 = jnp.float32
+        P = [p_ref[i] for i in range(16)]
+        n_steps = ns_ref[0]
+        limit_sq = P[4]
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+        y0 = ti * tile_h
+        x0 = tj * tile_w
+        yy = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+              + y0).astype(f32)
+        xx = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+              + x0).astype(f32)
+        yy = yy * P[6] + P[7]  # global-row map (sharded stripes)
+        shape = xx.shape
+        Ar = (P[0] * jnp.ones(shape, f32),
+              jnp.full(shape, P[8], f32).astype(jnp.int32))
+        Ai = (P[1] * jnp.ones(shape, f32),
+              jnp.full(shape, P[9], f32).astype(jnp.int32))
+        dcr = fx.mul(fx.fe(xx - P[2]), Ar)
+        dci = fx.mul(fx.fe(yy - P[3]), Ai)
+        gain = P[5]
+        dcr_g = (dcr[0] * gain, jnp.where(gain == 0.0, fx.E_ZERO, dcr[1]))
+        dci_g = (dci[0] * gain, jnp.where(gain == 0.0, fx.E_ZERO, dci[1]))
+        rows = zr2_ref.shape[0]
+
+        zfr0 = 0.5 * zr2_ref[pl.ds(0, 1), :] + fx.to_float(dcr)
+        zfi0 = 0.5 * zi2_ref[pl.ds(0, 1), :] + fx.to_float(dci)
+        cnt0 = jnp.zeros(shape, jnp.int32)
+        gl0 = jnp.zeros(shape, jnp.int32)
+
+        def _active(zfr, zfi, cnt, gl, n):
+            return ((zfr * zfr + zfi * zfi <= limit_sq) & (cnt == n)
+                    & (gl == 0))
+
+        INT_MIN = jnp.int32(-(1 << 30))
+
+        def try_skip(dzrm, dzre, dzim, dzie, zfr, zfi, cnt, gl, n):
+            """Largest valid aligned skip at n, gated on THIS tile's max
+            |δz|² (the twin gates on the whole image's)."""
+            live = _active(zfr, zfi, cnt, gl, n) & (n < n_steps)
+            dzr = (dzrm, dzre)
+            dzi = (dzim, dzie)
+            m2 = fx.add(fx.mul(dzr, dzr), fx.mul(dzi, dzi))
+            has = live & (m2[0] > 0.0)
+            maxe = jnp.max(jnp.where(has, m2[1], INT_MIN))
+            maxm = jnp.max(jnp.where(has & (m2[1] == maxe), m2[0], 0.0))
+            skip = jnp.int32(0)
+            chosen = jnp.int32(0)
+            for lev in range(n_levels - 1, -1, -1):
+                k = lev + bla_min_level
+                step = 1 << k
+                idx = jnp.int32(bla_offsets[lev]) + (n >> k)
+                r2m = bla_ref[idx, 6]
+                r2e = bla_ref[idx, 7].astype(jnp.int32)
+                ok = (
+                    (skip == 0)
+                    & ((n & (step - 1)) == 0)
+                    & (n + step <= n_steps)
+                    & (r2m > 0.0)
+                    & ((maxe < r2e) | ((maxe == r2e) & (maxm < r2m)))
+                )
+                chosen = jnp.where(ok, idx, chosen)
+                skip = jnp.where(ok, jnp.int32(step), skip)
+            if _BLA_FE_DEBUG:
+                jax.debug.print("tile({a},{b}) n={n} skip={s}",
+                                a=ti, b=tj, n=n, s=skip)
+            sArm = bla_ref[chosen, 0]
+            sAim = bla_ref[chosen, 1]
+            sAe = bla_ref[chosen, 2].astype(jnp.int32)
+            sBrm = bla_ref[chosen, 3]
+            sBim = bla_ref[chosen, 4]
+            sBe = bla_ref[chosen, 5].astype(jnp.int32)
+            upd = live & (skip > 0)
+            Apair_r = (sArm * jnp.ones(shape, f32),
+                       sAe * jnp.ones(shape, jnp.int32))
+            Apair_i = (sAim * jnp.ones(shape, f32),
+                       sAe * jnp.ones(shape, jnp.int32))
+            Bpair_r = (sBrm * jnp.ones(shape, f32),
+                       sBe * jnp.ones(shape, jnp.int32))
+            Bpair_i = (sBim * jnp.ones(shape, f32),
+                       sBe * jnp.ones(shape, jnp.int32))
+            skr, ski = fx.cmul(Apair_r, Apair_i, dzr, dzi)
+            tbr, tbi = fx.cmul(Bpair_r, Bpair_i, dcr, dci)
+            tbr = (tbr[0] * gain, jnp.where(gain == 0.0, fx.E_ZERO, tbr[1]))
+            tbi = (tbi[0] * gain, jnp.where(gain == 0.0, fx.E_ZERO, tbi[1]))
+            ndzr = fx.add(skr, tbr)
+            ndzi = fx.add(ski, tbi)
+            ns_row = jnp.minimum(n + skip, rows - 1)
+            zrow_r = 0.5 * zr2_ref[pl.ds(ns_row, 1), :]
+            zrow_i = 0.5 * zi2_ref[pl.ds(ns_row, 1), :]
+            dzrm = jnp.where(upd, ndzr[0], dzrm)
+            dzre = jnp.where(upd, ndzr[1], dzre)
+            dzim = jnp.where(upd, ndzi[0], dzim)
+            dzie = jnp.where(upd, ndzi[1], dzie)
+            zfr = jnp.where(upd, zrow_r + fx.to_float(ndzr), zfr)
+            zfi = jnp.where(upd, zrow_i + fx.to_float(ndzi), zfi)
+            cnt = cnt + jnp.where(upd, skip, 0)
+            return dzrm, dzre, dzim, dzie, zfr, zfi, cnt, gl, n + skip
+
+        def macro_body(carry):
+            (dzrm, dzre, dzim, dzie, zfr, zfi, cnt, gl), n = carry
+            for _ in range(SKIP_SCANS):
+                (dzrm, dzre, dzim, dzie, zfr, zfi, cnt, gl, n) = try_skip(
+                    dzrm, dzre, dzim, dzie, zfr, zfi, cnt, gl, n)
+            start = jnp.minimum(n, rows - (chunk + 1))
+            br = zr2_ref[pl.ds(start, chunk + 1), :]
+            bi = zi2_ref[pl.ds(start, chunk + 1), :]
+            if glitch:
+                bg = gt_ref[pl.ds(start, chunk + 1), :]
+            hbr = 0.5 * br
+            hbi = 0.5 * bi
+            for i in range(chunk):
+                m = n + i
+                live = _active(zfr, zfi, cnt, gl, m) & (m < n_steps)
+                dzr = (dzrm, dzre)
+                dzi = (dzim, dzie)
+                tr = fx.add(fx.fe(br[i:i + 1, :] + jnp.zeros(shape, f32)),
+                            dzr)
+                t2 = fx.add(fx.fe(bi[i:i + 1, :] + jnp.zeros(shape, f32)),
+                            dzi)
+                pr, pi = fx.cmul(tr, t2, dzr, dzi)
+                ndzr = fx.add(pr, dcr_g)
+                ndzi = fx.add(pi, dci_g)
+                nzfr = hbr[i + 1:i + 2, :] + fx.to_float(ndzr)
+                nzfi = hbi[i + 1:i + 2, :] + fx.to_float(ndzi)
+                d = nzfr * nzfr + nzfi * nzfi
+                esc_now = d > limit_sq
+                if glitch:
+                    gl_now = live & (~esc_now) & (d < bg[i:i + 1, :])
+                else:
+                    gl_now = jnp.zeros(shape, jnp.bool_)
+                # twin semantics: δz freezes per-lane too (cnt == n keys
+                # activity, so a frozen lane's δz must stay put)
+                dzrm = jnp.where(live, ndzr[0], dzrm)
+                dzre = jnp.where(live, ndzr[1], dzre)
+                dzim = jnp.where(live, ndzi[0], dzim)
+                dzie = jnp.where(live, ndzi[1], dzie)
+                zfr = jnp.where(live, nzfr, zfr)
+                zfi = jnp.where(live, nzfi, zfi)
+                cnt = cnt + (live & ~esc_now & ~gl_now)
+                gl = gl | gl_now.astype(jnp.int32)
+            return (dzrm, dzre, dzim, dzie, zfr, zfi, cnt, gl), n + chunk
+
+        def macro_cond(carry):
+            (dzrm, dzre, dzim, dzie, zfr, zfi, cnt, gl), n = carry
+            return ((n < iterations) & (n < n_steps)
+                    & jnp.any(_active(zfr, zfi, cnt, gl, n)))
+
+        (dzrm, dzre, dzim, dzie, zfr, zfi, cnt, gl), _ = jax.lax.while_loop(
+            macro_cond, macro_body,
+            ((dcr[0], dcr[1], dci[0], dci[1], zfr0, zfi0, cnt0, gl0),
+             jnp.int32(0)),
+        )
+        ran_out = ((zfr * zfr + zfi * zfi <= limit_sq)
+                   & (cnt >= n_steps) & (n_steps < iterations))
+        zr_ref[:] = zfr
+        zi_ref[:] = zfi
+        cnt_ref[:] = cnt
+        gl_ref[:] = gl | ran_out.astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "height", "width", "julia",
+                              "glitch", "tile_h", "tile_w", "chunk",
+                              "interpret", "bla_offsets", "skip_scans")
+)
+def perturb_pallas_fe_bla(planes, P, n_steps, bla_packed, *,
+                          bla_offsets, iterations: int, height: int,
+                          width: int, julia: bool = False,
+                          glitch: bool = True, tile_h: int = TILE_H,
+                          tile_w: int = TILE_W, chunk: int = PERT_CHUNK_FE,
+                          interpret: bool = False, skip_scans: int = 1):
+    """Extreme-depth fe kernel with per-tile BLA macro-skips — call shape
+    of ``perturb_pallas_fe`` plus the extended-exponent table
+    (``build_table_fe``: device (rows, 8) f32 + static per-level offsets).
+    Resident planes only (callers gate on PLANES_ROWS_MAX)."""
+    assert planes[0].shape[0] <= PLANES_ROWS_MAX + max(CHUNK, PERT_CHUNK)
+    kernel = _build_pert_kernel_fe_bla(iterations, tile_h, tile_w, chunk,
+                                       julia, glitch,
+                                       bla_offsets=bla_offsets,
+                                       bla_min_level=BLA_MIN_LEVEL,
+                                       skip_scans=skip_scans)
+    n_steps = jnp.asarray(n_steps, jnp.int32).reshape(1)
+    grid = (_cdiv(height, tile_h), _cdiv(width, tile_w))
+    outf = jax.ShapeDtypeStruct((height, width), jnp.float32)
+    outi = jax.ShapeDtypeStruct((height, width), jnp.int32)
+    block = lambda: pl.BlockSpec(
+        (tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(block(), block(), block(), block()),
+        out_shape=(outf, outf, outi, outi),
+        cost_estimate=pl.CostEstimate(
+            flops=90 * iterations * height * width,
+            bytes_accessed=height * width * 16 + iterations * 12 * 128,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_steps, P, *planes, bla_packed)
 
 
 def _build_pert_kernel(iterations: int, tile_h: int, tile_w: int, chunk: int):
@@ -2600,6 +2858,25 @@ def _render_perturb_fe_pallas_jit(scene, planes, P, n_steps, *, height: int,
     return img, jnp.sum(gl, dtype=jnp.int32), zr, zi, cnt, gl
 
 
+@functools.partial(jax.jit, static_argnames=("height", "width", "julia",
+                                             "glitch", "bla_offsets"))
+def _render_perturb_fe_bla_pallas_jit(scene, planes, P, n_steps,
+                                      bla_packed, *, bla_offsets,
+                                      height: int, width: int, julia: bool,
+                                      glitch: bool):
+    """Extreme-depth tier with a useful BLA table (contracting orbits):
+    per-tile macro-skip fe kernel → coloring → glitch count."""
+    from fractal_tpu.render import _color_and_downsample
+
+    zr, zi, cnt, gl = perturb_pallas_fe_bla(
+        planes, P, n_steps, bla_packed, bla_offsets=bla_offsets,
+        iterations=scene.iterations, height=height, width=width,
+        julia=julia, glitch=glitch,
+    )
+    img = _color_and_downsample(scene, zr, zi, cnt)
+    return img, jnp.sum(gl, dtype=jnp.int32), zr, zi, cnt, gl
+
+
 def render_perturb(scene, fast: bool = False):
     """Full perturbation render → (H, W, 3) uint8 device array.
 
@@ -2616,14 +2893,29 @@ def render_perturb(scene, fast: bool = False):
         n_glitch=None if fast else 0, n_residual=0,
         tier=("p32" if fast else
               "floatexp" if _is_extreme(scene) else "perturb"))
-    # extreme on TPU: the fe Pallas kernel runs the main grid UNLESS the
-    # fe BLA table is useful (contracting orbits) — then the BLA twin's
-    # O(skips + boundary) work beats the kernel's O(iterations) lock-step
-    # (dev[1] carries the table exactly when _perturb_setup engaged it)
-    fe_accel = (_is_extreme(scene)
-                and jax.default_backend() not in ("cpu",)
-                and dev[1] is None)
-    if fe_accel:
+    # extreme on TPU: the fe Pallas kernel runs the main grid; when the
+    # fe BLA table is useful (contracting orbits — dev[1] carries it
+    # exactly when _perturb_setup engaged it) the per-tile macro-skip
+    # variant runs instead, as long as the planes are VMEM-resident
+    # (skip jumps contradict the streaming variant's sequential prefetch;
+    # past the cap the BLA twin keeps the O(skips) behavior)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    fe_accel = _is_extreme(scene) and on_tpu and dev[1] is None
+    fe_bla_accel = (FE_BLA_KERNEL
+                    and _is_extreme(scene) and on_tpu
+                    and dev[1] is not None
+                    and scene.iterations + max(CHUNK, PERT_CHUNK)
+                    <= PLANES_ROWS_MAX)
+    if fe_bla_accel:
+        planes = _planes_for(scene, orbit, ref_px, w, h, fast)
+        img, n_gl, zr, zi, cnt, gl = _render_perturb_fe_bla_pallas_jit(
+            scene, planes, P, ns, dev[1], bla_offsets=dev[2],
+            height=h, width=w, julia=scene.algo == "julia",
+            glitch=not fast,
+        )
+        if fast:
+            return img
+    elif fe_accel:
         # the floatexp Pallas kernel runs the main grid (bit-identical to
         # the XLA twin); the sparse fallback paths below stay on the twin
         # (their 1-D batches are tiny)
@@ -2654,8 +2946,9 @@ def render_perturb(scene, fast: bool = False):
         )
     else:
         packed, bla_packed, bla_offsets = dev
-        # extreme depth on an accelerator lands here too (the floatexp
-        # tile has no Pallas lowering yet) — keep the deeper chunk for it
+        # CPU, plus the one accelerator case the kernels don't cover:
+        # BLA-useful view at a budget past the VMEM plane cap (the BLA
+        # twin keeps the O(skips) behavior there) — keep the deeper chunk
         chunk = (PERT_CHUNK if jax.default_backend() not in ("cpu",)
                  else PERT_CHUNK_CPU)
         img, n_gl, zr, zi, cnt, gl = _render_perturb_jit(

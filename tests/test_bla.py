@@ -172,6 +172,81 @@ def test_fe_table_deep_levels_and_render_counts_preserved():
     np.testing.assert_array_equal(np.asarray(plain[3]), np.asarray(bla[3]))
 
 
+def test_fe_bla_kernel_matches_plain_per_tile_max(monkeypatch):
+    """The per-tile macro-skip fe Pallas kernel (r3): each tile gates its
+    skips on ITS OWN max |δz|², so its skip pattern legitimately differs
+    from the whole-image BLA twin — the correctness oracle is the plain
+    (BLA-off) computation, same as the twin's own contract above.  Counts
+    and glitch flags must match bit-exactly; zr/zi follow the kernels'
+    usual FMA-ulp latitude (cnt/gl are the rendered semantics)."""
+    from fractal_tpu.ops import perturb as pt
+
+    sc = Scene(width=48, height=32, iterations=512,
+               pos_str=(MINIBROT_1E40_X, MINIBROT_1E40_Y),
+               scale=(1e40, 1e40), inside=False)
+    w, h = sc.width, sc.height
+    ref, orbit = pt.resolve_reference(sc, w, h)
+    P = pt._pert_params_fe(sc, ref, w, h)
+    ns = jnp.int32(orbit.n_steps)
+    packed = jnp.asarray(orbit.packed)
+    bla_packed, bla_offsets = pt._bla_dev_for(sc, orbit, ref, w, h, fe=True)
+    planes = pt.orbit_planes(orbit)
+    plain = pt.perturb_whole_jnp(packed, P, ns, iterations=512, height=h,
+                                 width=w, chunk=pt.PERT_CHUNK_CPU,
+                                 extreme=True)
+    kern = pt.perturb_pallas_fe_bla(
+        planes, P, ns, bla_packed, bla_offsets=bla_offsets,
+        iterations=512, height=h, width=w, julia=False, glitch=True,
+        interpret=True, chunk=4)
+    np.testing.assert_array_equal(np.asarray(plain[2]), np.asarray(kern[2]))
+    np.testing.assert_array_equal(np.asarray(plain[3]), np.asarray(kern[3]))
+
+
+def test_fe_bla_kernel_needle_escape_structure_matches_plain():
+    """Needle view at 300 iters: level-0 (64-step) merges are valid on the
+    early orbit, deeper levels are not (the usefulness gate keys off
+    level >= 2 — see test_fe_bla_useless_on_needle_views), and the view
+    has real escape structure.  The per-tile kernel's counts/glitch flags
+    must equal the plain fe path bit-exactly through mixed skip/step
+    trajectories with escapes and cnt==n freezes."""
+    from fractal_tpu.ops import perturb as pt
+
+    sc = Scene(width=24, height=16, iterations=300,
+               pos_str=("-1.99999999999999999999999999999999999999999999"
+                        "1", "0.0"),
+               scale=(1e44, 1e44))
+    w, h = sc.width, sc.height
+    ref, orbit = pt.resolve_reference(sc, w, h)
+    P = pt._pert_params_fe(sc, ref, w, h)
+    ns = jnp.int32(orbit.n_steps)
+    packed = jnp.asarray(orbit.packed)
+    bla_packed, bla_offsets = pt._bla_dev_for(sc, orbit, ref, w, h, fe=True)
+    planes = pt.orbit_planes(orbit)
+    plain = pt.perturb_whole_jnp(packed, P, ns, iterations=300, height=h,
+                                 width=w, chunk=pt.PERT_CHUNK_CPU,
+                                 extreme=True)
+    kern = pt.perturb_pallas_fe_bla(
+        planes, P, ns, bla_packed, bla_offsets=bla_offsets,
+        iterations=300, height=h, width=w, julia=False, glitch=True,
+        interpret=True, chunk=4)
+    np.testing.assert_array_equal(np.asarray(plain[2]), np.asarray(kern[2]))
+    np.testing.assert_array_equal(np.asarray(plain[3]), np.asarray(kern[3]))
+    assert len(np.unique(np.asarray(kern[2]))) > 3  # real escape structure
+
+    # all-invalid table (radii zeroed): the macro loop can never skip and
+    # the kernel's per-step ops are identical to the plain fe path — ALL
+    # FOUR outputs bit-equal (pure plumbing equality)
+    dead = np.asarray(bla_packed).copy()
+    dead[:, 6] = 0.0
+    kern0 = pt.perturb_pallas_fe_bla(
+        planes, P, ns, jnp.asarray(dead), bla_offsets=bla_offsets,
+        iterations=300, height=h, width=w, julia=False, glitch=True,
+        interpret=True, chunk=4)
+    for name, a, b in zip(("zr", "zi", "cnt", "gl"), plain, kern0):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
 def test_fe_bla_useless_on_needle_views():
     """On the maximally-expanding needle orbit (|2Z| ~ 4 per step) no merge
     radius survives at ANY depth — the gate must keep the BLA macro loop
