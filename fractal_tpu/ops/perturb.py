@@ -3132,10 +3132,20 @@ def render_perturb_band(scene, start_row: int, rows: int,
     reference)."""
     h, w, on_accel, ref_px, orbit, P, ns, dev = _perturb_setup(scene, fast)
     start = jnp.float32(start_row)
-    fe_accel = (_is_extreme(scene)
-                and jax.default_backend() not in ("cpu",)
-                and dev[1] is None)
-    if fe_accel:
+    on_tpu = jax.default_backend() not in ("cpu",)
+    fe_accel = _is_extreme(scene) and on_tpu and dev[1] is None
+    fe_bla_accel = (FE_BLA_KERNEL and _is_extreme(scene) and on_tpu
+                    and dev[1] is not None
+                    and scene.iterations + max(CHUNK, PERT_CHUNK)
+                    <= PLANES_ROWS_MAX)
+    if fe_bla_accel:
+        planes = _planes_for(scene, orbit, ref_px, w, h, fast)
+        zr, zi, cnt, gl = perturb_pallas_fe_bla(
+            planes, P.at[7].set(start), ns, dev[1], bla_offsets=dev[2],
+            iterations=scene.iterations, height=rows, width=w,
+            julia=scene.algo == "julia", glitch=not fast,
+        )
+    elif fe_accel:
         planes = _planes_for(scene, orbit, ref_px, w, h, fast)
         zr, zi, cnt, gl = perturb_pallas_fe(
             planes, P.at[7].set(start), ns, iterations=scene.iterations,

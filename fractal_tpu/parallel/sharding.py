@@ -370,11 +370,19 @@ def _render_fern_sharded_jit(scene: Scene, walkers: int, steps: int,
 
 
 def render_fern_sharded(scene: Scene, mesh: Optional[Mesh] = None,
-                        walkers: int = 4096, compat_replicas: bool = False):
+                        walkers: int = None, compat_replicas: bool = False):
     """Fern across a device mesh: each device walks its own replica,
     one psum combines them (the reference's combine_images all-reduce,
-    src/lib.rs:303-318, as a single ICI collective)."""
-    from fractal_tpu.models.fern import darkening_curve
+    src/lib.rs:303-318, as a single ICI collective).
+
+    The per-device walker count defaults to the single-device sweep's
+    optimum (models/fern.py DEFAULT_WALKERS — each mesh device IS that
+    device; the scatter-bound envelope is identical), clamped to the
+    per-device point budget for tiny test scenes."""
+    from fractal_tpu.models.fern import DEFAULT_WALKERS, darkening_curve
+
+    if walkers is None:
+        walkers = DEFAULT_WALKERS
 
     mesh = mesh if mesh is not None else make_mesh()
     n = mesh.shape[AXIS]
