@@ -186,8 +186,8 @@ def reference_orbit(scene, ref_px: Tuple[int, int], width: int,
 
     spacing = scene.pixel_spacing / scene.supersample
     step = _host_step(scene.algo, scene.power)
-    zs = np.empty((iters + 1, 2), np.float64)
     if spacing > F64_ORBIT_SPACING_LIMIT:
+        zs = np.empty((iters + 1, 2), np.float64)
         c0r, c0i = float(c0r_f), float(c0i_f)
         if scene.algo == "julia":
             cr, ci = float(scene.julia_set[0]), float(scene.julia_set[1])
@@ -227,6 +227,7 @@ def reference_orbit(scene, ref_px: Tuple[int, int], width: int,
             if res is not None:
                 zs, n = res
             else:
+                zs = np.empty((iters + 1, 2), np.float64)
                 n = 0
                 zs[0] = (float(z_m.real), float(z_m.imag))
                 while n < iters:
@@ -1050,11 +1051,15 @@ def _series_init(P, dcr, dci):
     return dzr, dzi, P[8].astype(jnp.int32)
 
 
-# Route BLA-useful extreme views through the per-tile macro-skip Pallas
-# kernel instead of the whole-image BLA twin.  Opt-in until its Mosaic
-# compile time is validated on hardware (the tunnel was down when it
-# landed); the twin default is the measured-good 43.3 ms path.
-FE_BLA_KERNEL = bool(os.environ.get("FRACTAL_TPU_FE_BLA_KERNEL"))
+def _fe_bla_kernel_on() -> bool:
+    """Route BLA-useful extreme views through the per-tile macro-skip
+    Pallas kernel instead of the whole-image BLA twin.  Opt-in
+    (``FRACTAL_TPU_FE_BLA_KERNEL=1``) until its Mosaic compile time is
+    validated on hardware (the tunnel was down when it landed); the twin
+    default is the measured-good 43.3 ms path.  Read at call time so
+    tests can monkeypatch the environment; on CPU the kernel runs in
+    interpret mode, which is what makes the routing testable at all."""
+    return bool(os.environ.get("FRACTAL_TPU_FE_BLA_KERNEL"))
 
 BLA_MIN_LEVEL = 6  # smallest stored skip = 64 = PERT_CHUNK, so skips always
 #                    beat plain chunks and stay chunk-aligned
@@ -1871,10 +1876,19 @@ def _build_pert_kernel_fe_bla(iterations: int, tile_h: int, tile_w: int,
             maxm = jnp.max(jnp.where(has & (m2[1] == maxe), m2[0], 0.0))
             skip = jnp.int32(0)
             chosen = jnp.int32(0)
+            n_rows = bla_ref.shape[0]
             for lev in range(n_levels - 1, -1, -1):
                 k = lev + bla_min_level
                 step = 1 << k
-                idx = jnp.int32(bla_offsets[lev]) + (n >> k)
+                # clamp to the level's last row: at a non-power-of-two
+                # budget the top level's (n >> k) overshoots its single
+                # row once n passes it — the value is gate-discarded, but
+                # an unclamped dynamic SMEM load is UB on hardware (the
+                # twin gets this clamp for free from dynamic_slice)
+                last = (bla_offsets[lev + 1] if lev + 1 < n_levels
+                        else n_rows) - 1
+                idx = jnp.minimum(jnp.int32(bla_offsets[lev]) + (n >> k),
+                                  jnp.int32(last))
                 r2m = bla_ref[idx, 6]
                 r2e = bla_ref[idx, 7].astype(jnp.int32)
                 ok = (
@@ -2872,6 +2886,7 @@ def _render_perturb_fe_bla_pallas_jit(scene, planes, P, n_steps,
         planes, P, n_steps, bla_packed, bla_offsets=bla_offsets,
         iterations=scene.iterations, height=height, width=width,
         julia=julia, glitch=glitch,
+        interpret=jax.default_backend() == "cpu",
     )
     img = _color_and_downsample(scene, zr, zi, cnt)
     return img, jnp.sum(gl, dtype=jnp.int32), zr, zi, cnt, gl
@@ -2901,8 +2916,8 @@ def render_perturb(scene, fast: bool = False):
     # past the cap the BLA twin keeps the O(skips) behavior)
     on_tpu = jax.default_backend() not in ("cpu",)
     fe_accel = _is_extreme(scene) and on_tpu and dev[1] is None
-    fe_bla_accel = (FE_BLA_KERNEL
-                    and _is_extreme(scene) and on_tpu
+    fe_bla_accel = (_fe_bla_kernel_on()
+                    and _is_extreme(scene)
                     and dev[1] is not None
                     and scene.iterations + max(CHUNK, PERT_CHUNK)
                     <= PLANES_ROWS_MAX)
@@ -3134,7 +3149,7 @@ def render_perturb_band(scene, start_row: int, rows: int,
     start = jnp.float32(start_row)
     on_tpu = jax.default_backend() not in ("cpu",)
     fe_accel = _is_extreme(scene) and on_tpu and dev[1] is None
-    fe_bla_accel = (FE_BLA_KERNEL and _is_extreme(scene) and on_tpu
+    fe_bla_accel = (_fe_bla_kernel_on() and _is_extreme(scene)
                     and dev[1] is not None
                     and scene.iterations + max(CHUNK, PERT_CHUNK)
                     <= PLANES_ROWS_MAX)
@@ -3144,6 +3159,7 @@ def render_perturb_band(scene, start_row: int, rows: int,
             planes, P.at[7].set(start), ns, dev[1], bla_offsets=dev[2],
             iterations=scene.iterations, height=rows, width=w,
             julia=scene.algo == "julia", glitch=not fast,
+            interpret=not on_tpu,
         )
     elif fe_accel:
         planes = _planes_for(scene, orbit, ref_px, w, h, fast)

@@ -201,6 +201,32 @@ def test_fe_bla_kernel_matches_plain_per_tile_max(monkeypatch):
     np.testing.assert_array_equal(np.asarray(plain[2]), np.asarray(kern[2]))
     np.testing.assert_array_equal(np.asarray(plain[3]), np.asarray(kern[3]))
 
+    # routing coverage: FRACTAL_TPU_FE_BLA_KERNEL=1 must swing
+    # render_perturb onto the kernel entry point with the right plumbing
+    # (dev[1]=table, dev[2]=offsets, planes, glitch).  A spy avoids
+    # compiling the full render program (≈20 min of XLA on this 1-core
+    # box); the kernel's numerics are covered by the direct tests above.
+    seen = {}
+
+    def spy(planes_a, P_a, ns_a, bla_a, *, bla_offsets, iterations,
+            height, width, julia, glitch, **kw):
+        seen.update(table_shape=tuple(bla_a.shape),
+                    offsets=bla_offsets, iterations=iterations,
+                    hw=(height, width), julia=julia, glitch=glitch,
+                    n_planes=len(planes_a))
+        raise RuntimeError("spy: routing reached the fe BLA kernel")
+
+    monkeypatch.setenv("FRACTAL_TPU_FE_BLA_KERNEL", "1")
+    monkeypatch.setattr(pt, "perturb_pallas_fe_bla", spy)
+    with pytest.raises(Exception, match="spy: routing"):
+        pt.render_perturb(sc)
+    assert seen["table_shape"] == tuple(np.asarray(bla_packed).shape)
+    assert seen["offsets"] == bla_offsets
+    assert seen["iterations"] == sc.iterations
+    assert seen["hw"] == (sc.height, sc.width)
+    assert seen["julia"] is False and seen["glitch"] is True
+    assert seen["n_planes"] == 3
+
 
 def test_fe_bla_kernel_needle_escape_structure_matches_plain():
     """Needle view at 300 iters: level-0 (64-step) merges are valid on the
