@@ -391,6 +391,36 @@ static Mpf mpf_square_rounded(const Mpf &s, long long prec) {
     return normalize1(0, std::move(man), s.exp + s.exp, bc, prec);
 }
 
+// mpf_pow_int(s, n, prec) for n >= 3 via the exact path (libmpf.py:
+// 1078-1083: man **= n when bc*n < 1000, one rounding).  Returns false
+// when mpmath would take the directed-rounding ladder instead (bc*n >=
+// 1000) — the caller then declines the whole walk.
+static bool mpf_pow_int_exact(const Mpf &s, long long n, long long prec,
+                              Mpf &out) {
+    if (s.is_zero()) { out = FZERO; return true; }
+    int result_sign = (int)(s.sign & n);  // odd n keeps the sign
+    if (s.bc == 1 && s.man.d.size() == 1 && s.man.d[0] == 1) {
+        out = Mpf();
+        out.sign = result_sign;
+        out.man = from_u64(1);
+        out.exp = s.exp * n;
+        out.bc = 1;
+        return true;
+    }
+    if (s.bc * n >= 1000) return false;
+    Big acc = from_u64(1);
+    Big base = s.man;
+    long long m = n;
+    while (m) {
+        if (m & 1) acc = mul(acc, base);
+        base = mul(base, base);
+        m >>= 1;
+    }
+    long long bc = bitcount(acc);
+    out = normalize1(result_sign, std::move(acc), s.exp * n, bc, prec);
+    return true;
+}
+
 // to_float with rnd='n' (libmpf.py:454-489): round to 53 bits nearest-even
 // then ldexp.  Overflow -> +-inf, extreme underflow -> 0 via C ldexp
 // (identical to math.ldexp).
@@ -501,13 +531,30 @@ static Mpc mpc_square_pow(const Mpc &z, long long prec) {
     return r;
 }
 
-// z**n for n >= 3 via mpc_pow_int's exact path (libmpc.py:272-292).
-// Returns false when mpmath would take a different path (axis special
-// cases -> mpf_pow_int's iterative ladder; exact_size >= 10000 -> exp/log)
-// — the caller then falls back to the Python walk.
+// z**n for n >= 3 via mpc_pow_int's paths (libmpc.py:255-292): axis
+// special cases through mpf_pow_int's exact route, else aligned
+// complex_int_pow.  Returns false when mpmath would take a path we
+// don't replicate (mpf_pow_int's directed-rounding ladder at
+// bc*n >= 1000; mpc exp/log at exact_size >= 10000) — the caller then
+// falls back to the Python walk.
 static bool mpc_pow_int_exact(const Mpc &z, long long n, long long prec,
                               Mpc &out) {
-    if (z.im.is_zero() || z.re.is_zero()) return false;
+    if (z.im.is_zero()) {
+        out.im = FZERO;
+        return mpf_pow_int_exact(z.re, n, prec, out.re);
+    }
+    if (z.re.is_zero()) {
+        Mpf v;
+        if (!mpf_pow_int_exact(z.im, n, prec, v)) return false;
+        out = Mpc();
+        switch (n % 4) {
+        case 0: out.re = v; break;
+        case 1: out.im = v; break;
+        case 2: out.re = mpf_neg_exact(v); break;
+        default: out.im = mpf_neg_exact(v); break;
+        }
+        return true;
+    }
     long long de = z.re.exp - z.im.exp;
     long long abs_de = de < 0 ? -de : de;
     long long mbc = z.re.bc > z.im.bc ? z.re.bc : z.im.bc;

@@ -116,13 +116,30 @@ def test_walk_real_axis_special_case():
         np.testing.assert_array_equal(ref_zs[: ref_n + 1], zs[: n + 1])
 
 
-def test_walk_zpow_axis_falls_back():
-    """d >= 3 with a component exactly zero would take mpf_pow_int's
-    iterative ladder in mpmath (not replicated) — the walker must decline
-    so the caller runs the mpmath loop."""
-    with mp.workdps(60):
+def test_walk_zpow_axis_exact_path():
+    """d >= 3 with a component exactly zero: mpmath takes mpf_pow_int,
+    whose exact route (bc*n < 1000) the walker replicates — real-axis
+    multibrot walks run natively at moderate precision."""
+    with mp.workdps(60):  # ~203 bits * 3 < 1000: exact path
         prec = mp.mp.prec
-        z0 = mp.mpc(mp.mpf("-1.5"), mp.mpf(0))
+        z0 = mp.mpc(mp.mpf("-1.2599210498948731647672106072782"),
+                    mp.mpf(0))
+        ref_zs, ref_n = _py_walk("multibrot", 3, z0, z0, 200, 4.0)
+        got = native_walk.walk("multibrot", 3, prec, z0, z0, 200, 4.0)
+        assert got is not None
+        zs, n = got
+        assert n == ref_n
+        np.testing.assert_array_equal(ref_zs[: ref_n + 1], zs[: n + 1])
+
+
+def test_walk_zpow_axis_high_prec_falls_back():
+    """Past bc*n >= 1000 mpf_pow_int switches to its directed-rounding
+    ladder (not replicated) — the walker must decline so the caller runs
+    the mpmath loop."""
+    with mp.workdps(150):  # ~500 bits * 3 >= 1000: ladder path
+        prec = mp.mp.prec
+        tail = mp.mpf(1) / mp.mpf(10) ** 140
+        z0 = mp.mpc(mp.mpf("-1.5") + tail, mp.mpf(0))
         assert native_walk.walk("multibrot", 3, prec, z0, z0, 100,
                                 4.0) is None
 
