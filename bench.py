@@ -25,6 +25,32 @@ import numpy as np
 REFERENCE_SECONDS = 1.0  # README.md:9-11: ~1 s on CPU for this render
 
 
+def _device_preflight(timeout: int = 300) -> str | None:
+    """Dispatch one tiny op in a subprocess with a hard timeout.
+
+    The tunneled TPU backend occasionally hangs for HOURS (observed
+    2026-08-18: 7 h+); a hung device would otherwise stall the whole
+    harness inside an uninterruptible PJRT call.  Returns an error
+    string (to report as the JSON line) or None when the device is live.
+    """
+    import os
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp; "
+            "x = jnp.ones((64, 64)); "
+            "print(float(jnp.sum(x @ x, dtype=jnp.float32)))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout,
+                           env=dict(os.environ), text=True)
+    except subprocess.TimeoutExpired:
+        return f"device preflight timed out after {timeout}s (hung backend)"
+    if r.returncode != 0:
+        return f"device preflight failed: {r.stderr.strip()[-200:]}"
+    return None
+
+
 def headline_scene():
     from fractal_tpu.config import Scene
 
@@ -172,6 +198,18 @@ def main():
     args = ap.parse_args()
 
     import sys
+
+    err = _device_preflight()
+    if err is not None:
+        # one parseable line, fast, instead of an unbounded hang — the
+        # driver records the failure and the next round retries
+        print(json.dumps({
+            "metric": "mandelbrot 3000x3000 @1e6x zoom, 4000 max-iter, "
+                      "render time (p32 fast tier)",
+            "value": None, "unit": "ms", "vs_baseline": None,
+            "details": {"error": err},
+        }))
+        return
 
     scene = headline_scene()
     # Fast tier (p32: f32 δ-orbits, >99.9% classification accuracy, boundary
