@@ -437,16 +437,30 @@ def _perturb_tile(xx, yy, P, n_steps, iterations: int,
             # with x = A·δb + B·δa + δa·δb — exact in both branches (the
             # crossing case |X| < |x| only arises when X is itself tiny,
             # where fl(A·B) keeps full relative accuracy).
-            ndzr = (2.0 * Zr + dzr) * dzr - (2.0 * Zi + dzi) * dzi \
-                + dcr * P[5]
+            #
+            # Every product feeding an add is multiplied by a TRACED 1.0
+            # (``pin``, exact by IEEE, so results are unchanged on every
+            # backend): XLA:CPU's LLVM backend contracts mul+add chains
+            # into FMAs differently at different unroll depths around the
+            # select tree, which made the twin chunk-dependent on chaotic
+            # pixels (24% of counts at a 1e14 boundary view, VERDICT r3
+            # #5).  With the pin, any FMA formed is fma(t, 1.0, c) ==
+            # rn(t + c) — bit-identical to the uncontracted lowering.
+            # Mandelbrot/tricorn/multibrot lower chunk-stably as-is and
+            # keep their unpinned (faster) forms.
+            pin = P[15] * 0.0 + 1.0
+            ndzr = ((2.0 * Zr + dzr) * dzr) * pin \
+                - ((2.0 * Zi + dzi) * dzi) * pin + (dcr * P[5]) * pin
             X = Zr * Zi
-            x = Zr * dzi + Zi * dzr + dzr * dzi
-            sm = X + x
-            ndzi = 2.0 * jnp.where(
+            x = (Zr * dzi) * pin + (Zi * dzr) * pin + (dzr * dzi) * pin
+            # Branch on X >= -x, not on rn(X + x) >= 0: negation and
+            # compare are exact (no rounding, hence no contraction site).
+            nx = -x
+            ndzi = (2.0 * jnp.where(
                 X >= 0.0,
-                jnp.where(sm >= 0.0, x, -(2.0 * X + x)),
-                jnp.where(sm <= 0.0, -x, 2.0 * X + x),
-            ) + dci * P[5]
+                jnp.where(X >= nx, x, -(2.0 * X + x)),
+                jnp.where(X <= nx, -x, 2.0 * X + x),
+            )) * pin + (dci * P[5]) * pin
         elif algo == "tricorn":
             # conj(z)²+c: δ'_r quadratic; δ'_i = −2(Aδb + Bδa + δaδb) + δc
             ndzr = (2.0 * Zr + dzr) * dzr - (2.0 * Zi + dzi) * dzi \
@@ -1306,18 +1320,24 @@ def _build_pert_kernel_v2(iterations: int, tile_h: int, tile_w: int,
                     # real part; diffabs imaginary part from X = Zr·Zi and
                     # x = Zr·δi + Zi·δr + δr·δi.  hbr/hbi rows ARE Z (the
                     # 0.5· recovery is exact), so every product matches the
-                    # twin's fl() bit-for-bit.
-                    ndzr = (br[i:i + 1, :] + dzr) * dzr \
-                        - (bi[i:i + 1, :] + dzi) * dzi + dcr_step[0]
+                    # twin's fl() bit-for-bit.  The traced-1.0 ``pin``
+                    # mirrors the twin's FMA-contraction pin exactly
+                    # (exact mul, same fl values on every backend) so
+                    # kernel and twin stay bit-identical per compilation.
+                    pin = P[15] * 0.0 + 1.0
+                    ndzr = ((br[i:i + 1, :] + dzr) * dzr) * pin \
+                        - ((bi[i:i + 1, :] + dzi) * dzi) * pin \
+                        + dcr_step[0] * pin
                     X = hbr[i:i + 1, :] * hbi[i:i + 1, :]
-                    x = hbr[i:i + 1, :] * dzi + hbi[i:i + 1, :] * dzr \
-                        + dzr * dzi
-                    sm = X + x
-                    ndzi = 2.0 * jnp.where(
+                    x = (hbr[i:i + 1, :] * dzi) * pin \
+                        + (hbi[i:i + 1, :] * dzr) * pin \
+                        + (dzr * dzi) * pin
+                    nx = -x
+                    ndzi = (2.0 * jnp.where(
                         X >= 0.0,
-                        jnp.where(sm >= 0.0, x, -(2.0 * X + x)),
-                        jnp.where(sm <= 0.0, -x, 2.0 * X + x),
-                    ) + dcr_step[1]
+                        jnp.where(X >= nx, x, -(2.0 * X + x)),
+                        jnp.where(X <= nx, -x, 2.0 * X + x),
+                    )) * pin + dcr_step[1] * pin
                 elif algo == "tricorn":
                     # conj(z)²+c: quadratic real part; conjugated cross term
                     ndzr = (br[i:i + 1, :] + dzr) * dzr \

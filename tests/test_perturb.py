@@ -1167,20 +1167,31 @@ def test_pallas_v2_kernel_matches_twin_multibrot_tricorn():
             np.testing.assert_array_equal(a, b, err_msg=f"{sc.algo}:{name}")
 
 
-def test_pallas_v2_kernel_burningship_well_conditioned():
-    """Burning ship: the diffabs select tree compiles with different FMA
-    contraction at different unroll depths (measured: even the XLA twin is
-    chunk-dependent on chaotic-boundary pixels at 1e14 — one-ulp
-    differences amplified at λ≈ln2/step).  The stable contract is the same
-    as every f32 δ-orbit's: well-conditioned (low-count) pixels agree
-    EXACTLY across compilations; glitch flags agree."""
-    sc = Scene(algo="burningship", width=16, height=12, iterations=300,
-               pos=(-2.0, 0.0), scale=(1e16, 1e16), precision="perturb")
-    twin, kern = _kernel_vs_twin(sc)
-    np.testing.assert_array_equal(twin[3], kern[3])  # glitch flags
-    well = twin[2] < 250  # needle view: low counts are well-conditioned
-    assert well.sum() >= 100
-    np.testing.assert_array_equal(twin[2][well], kern[2][well])
+def test_pallas_v2_kernel_burningship_bit_parity():
+    """Burning ship holds the same full bit-parity contract as every other
+    algo (VERDICT r3 #5 closed).  XLA:CPU used to contract the diffabs
+    select tree's mul+add chains into FMAs differently at different unroll
+    depths (twin chunk-4 vs chunk-16 disagreed on 24% of counts at a 1e14
+    boundary view); every product feeding an add in the burning-ship branch
+    is now pinned through a traced 1.0 multiply (exact, backend-invariant),
+    which forces the uncontracted rounding everywhere.  Twin is
+    chunk-stable and the kernel matches it bit-for-bit."""
+    for sc in (
+        Scene(algo="burningship", width=16, height=12, iterations=300,
+              pos=(-2.0, 0.0), scale=(1e16, 1e16), precision="perturb"),
+        Scene(algo="burningship", width=16, height=12, iterations=1500,
+              pos_str=("-0.45", "-0.829977217668251374661143257379"),
+              scale=(1e14, 1e14), precision="perturb"),
+    ):
+        twin, kern = _kernel_vs_twin(sc)
+        for name, a, b in zip(("zr", "zi", "cnt", "gl"), twin, kern):
+            np.testing.assert_array_equal(a, b, err_msg=name)
+        # chunk-stability of the twin itself (the r3 failure mode)
+        twin4, kern4 = _kernel_vs_twin(sc, chunk=4)
+        for name, a, b in zip(("zr", "zi", "cnt", "gl"), twin, twin4):
+            np.testing.assert_array_equal(a, b, err_msg=f"chunk:{name}")
+        for name, a, b in zip(("zr", "zi", "cnt", "gl"), kern, kern4):
+            np.testing.assert_array_equal(a, b, err_msg=f"kchunk:{name}")
 
 
 def test_pallas_fe_kernel_matches_twin_at_1e44():
