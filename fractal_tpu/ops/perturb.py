@@ -2927,7 +2927,8 @@ def render_perturb(scene, fast: bool = False):
     RENDER_STATS.update(
         n_glitch=None if fast else 0, n_residual=0,
         tier=("p32" if fast else
-              "floatexp" if _is_extreme(scene) else "perturb"))
+              "floatexp" if _is_extreme(scene) else "perturb"),
+        route="")
     # extreme on TPU: the fe Pallas kernel runs the main grid; when the
     # fe BLA table is useful (contracting orbits — dev[1] carries it
     # exactly when _perturb_setup engaged it) the per-tile macro-skip
@@ -2943,6 +2944,7 @@ def render_perturb(scene, fast: bool = False):
                     <= PLANES_ROWS_MAX)
     if fe_bla_accel:
         planes = _planes_for(scene, orbit, ref_px, w, h, fast)
+        RENDER_STATS["route"] = "fe-bla-kernel"
         img, n_gl, zr, zi, cnt, gl = _render_perturb_fe_bla_pallas_jit(
             scene, planes, P, ns, dev[1], bla_offsets=dev[2],
             height=h, width=w, julia=scene.algo == "julia",
@@ -2955,6 +2957,9 @@ def render_perturb(scene, fast: bool = False):
         # the XLA twin); the sparse fallback paths below stay on the twin
         # (their 1-D batches are tiny)
         planes = _planes_for(scene, orbit, ref_px, w, h, fast)
+        RENDER_STATS["route"] = ("fe-stream"
+                                 if planes[0].shape[0] > PLANES_ROWS_MAX
+                                 else "fe-kernel")
         if fast:
             img, _, _, _, _, _ = _render_perturb_fe_pallas_jit(
                 scene, planes, P, ns, height=h, width=w,
@@ -2967,6 +2972,9 @@ def render_perturb(scene, fast: bool = False):
         )
     elif on_accel:
         pw = eff_power(scene.algo, scene.power)
+        RENDER_STATS["route"] = ("v2-stream"
+                                 if dev[0].shape[0] > PLANES_ROWS_MAX
+                                 else "v2-kernel")
         if fast:
             img, _, _, _, _, _ = _render_perturb_pallas_jit(
                 scene, dev, P, ns, height=h,
@@ -2986,6 +2994,9 @@ def render_perturb(scene, fast: bool = False):
         # twin keeps the O(skips) behavior there) — keep the deeper chunk
         chunk = (PERT_CHUNK if jax.default_backend() not in ("cpu",)
                  else PERT_CHUNK_CPU)
+        RENDER_STATS["route"] = "xla-twin" + (
+            "-fe" if _is_extreme(scene) else "") + (
+            "-bla" if bla_packed is not None else "")
         img, n_gl, zr, zi, cnt, gl = _render_perturb_jit(
             scene, packed, P, ns,
             height=h, width=w, chunk=chunk,

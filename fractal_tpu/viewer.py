@@ -155,10 +155,12 @@ class RenderWorker:
                 self._working = True
             t0 = time.perf_counter()
             try:
-                img = render(scene)
+                img = np.asarray(render(scene))  # host fetch = device fence
+                dev_ms = (time.perf_counter() - t0) * 1e3
                 png = _encode_png(img)
                 ms = (time.perf_counter() - t0) * 1e3
                 stats = _render_stats(scene)
+                stats["device_ms"] = round(dev_ms, 1)
                 with self._lock:
                     self._png = png
                     self._gen += 1
@@ -191,6 +193,10 @@ def _render_stats(scene: Scene) -> dict:
         out["glitch"] = int(ng) if ng is not None else -1  # -1: p32, untracked
         nres = RENDER_STATS.get("n_residual", 0)
         out["residual"] = int(nres) if nres is not None else 0
+        # active kernel route (v2/fe/fe-bla, -stream, xla-twin…) — makes
+        # hardware validation of the kernel paths observable interactively
+        # (VERDICT r3 #8)
+        out["route"] = RENDER_STATS.get("route", "")
     return out
 
 
@@ -243,7 +249,9 @@ def _make_handler(worker: RenderWorker, state: dict):
                                      else worker.snapshot())
                 self._send(200, png, "image/png",
                            [("X-Gen", str(g)), ("X-Render-Ms", f"{ms:.1f}"),
+                            ("X-Device-Ms", str(stats.get("device_ms", ""))),
                             ("X-Tier", str(stats.get("tier", ""))),
+                            ("X-Route", str(stats.get("route", ""))),
                             ("X-Glitch", str(stats.get("glitch", ""))),
                             ("X-Residual", str(stats.get("residual", ""))),
                             ("Cache-Control", "no-store")])
@@ -440,11 +448,15 @@ async function poll() {
         const blob = await r.blob();
         if (blob.size > 0) {
           $('img').src = URL.createObjectURL(blob);
-          // depth status: precision tier + glitch/residual counts
+          // depth status: precision tier + kernel route + glitch/residual
           const tier = r.headers.get('X-Tier') || '';
+          const route = r.headers.get('X-Route') || '';
+          const dms = r.headers.get('X-Device-Ms') || '';
           const gl = r.headers.get('X-Glitch'), res = r.headers.get('X-Residual');
           let st = 'render ' + ms + ' ms (gen ' + g + ')';
+          if (dms) st += ' · device ' + dms + ' ms';
           if (tier) st += ' · ' + tier;
+          if (route) st += ' [' + route + ']';
           if (gl !== '' && gl !== null)
             st += gl === '-1' ? ' · glitch n/a (fast)' : ' · glitch ' + gl;
           if (res && res !== '0' && res !== '') st += ' · UNRESOLVED ' + res;

@@ -233,6 +233,11 @@ def test_status_headers_tier_and_glitch(server):
         time.sleep(0.5)
     assert h["X-Tier"] == "perturb"
     assert h["X-Glitch"].isdigit()  # exact tier tracks the glitch count
+    # VERDICT r3 #8: active kernel route + last-frame device ms.  On the
+    # CPU test backend every perturbation render routes the XLA twin
+    # (possibly with a BLA table); a TPU shows v2/fe/fe-bla[-stream].
+    assert h["X-Route"].startswith("xla-twin")
+    assert float(h["X-Device-Ms"]) > 0
     g1 = int(h["X-Gen"])
     # shallow view resolves to f32 and reports no glitch field content
     scene.update(scale=[0.4, 0.4], pos=[-0.6, 0.0], iterations=50)
