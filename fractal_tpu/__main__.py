@@ -67,6 +67,31 @@ def _main(argv=None) -> int:
                 img = render_tiled(options.scene, options.bands,
                                    options.ckpt_dir,
                                    progress=print if options.profile else None)
+        elif options.devices != 1:
+            # Multi-chip still render (SURVEY §2 C7/C9 TPU plan): rows
+            # interleaved across the mesh for escape scenes, per-device
+            # fern replicas combined with one psum — both bit-identical
+            # to single-device (tests/test_sharding.py).
+            import jax
+            import numpy as np
+
+            from fractal_tpu.parallel.sharding import (
+                make_mesh, render_escape_sharded, render_fern_sharded,
+            )
+
+            avail = len(jax.devices())
+            n = avail if options.devices == 0 else options.devices
+            if n > avail:
+                raise ValueError(
+                    f"--devices {n}: only {avail} device(s) available")
+            mesh = make_mesh(n)
+            with phases.phase(f"render ({n}-device mesh)"):
+                if options.scene.algo == "fern":
+                    img_dev = render_fern_sharded(options.scene, mesh)
+                else:
+                    img_dev = render_escape_sharded(options.scene, mesh)
+            with phases.phase("device→host"):
+                img = np.asarray(jax.device_get(img_dev))
         else:
             with phases.phase("render (device)"):
                 img_dev = render_u8(options.scene, backend=options.backend)

@@ -49,6 +49,7 @@ class Options:
     sweep: str = "julia"      # julia | zoom
     zoom_from: float = None   # zoom sweep start scale (end is the scene's -s)
     exact_sweep: bool = False # zoom sweep: still-quality frames (glitch fix)
+    devices: int = 1          # 1 = single device; N>1 = mesh; 0 = all
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -161,6 +162,13 @@ def build_parser() -> argparse.ArgumentParser:
     ext.add_argument("--backend", default="auto",
                      choices=("auto", "jnp", "pallas"),
                      help="Kernel backend selection.")
+    ext.add_argument("--devices", type=int, default=1, metavar="N",
+                     help="Render across the first N devices of a "
+                          "jax.sharding mesh (escape rows interleaved per "
+                          "device, fern replicas psum-combined — bit-"
+                          "identical to single-device). 0 = all available "
+                          "devices; default 1 = single device. Stills only "
+                          "(not --bands/--animate/-g).")
     ext.add_argument("--bands", type=int, default=0, metavar="ROWS",
                      help="Render in horizontal bands of ROWS rows "
                           "(checkpoint/resume for huge images; 0 = one shot).")
@@ -242,6 +250,11 @@ def parse_options(argv: Optional[List[str]] = None) -> Options:
     if args.animate and args.sweep == "julia" and algo != "julia":
         sys.exit("error: --animate with --sweep julia requires -a julia "
                  "(use --sweep zoom for mandelbrot zoom videos)")
+    if args.devices < 0:
+        sys.exit("error: --devices must be >= 0 (0 = all available)")
+    if args.devices != 1 and (args.bands or args.animate or args.gui):
+        sys.exit("error: --devices applies to one-shot still renders only "
+                 "(not --bands/--animate/-g)")
     return Options(
         scene=scene,
         filename=args.output,
@@ -257,4 +270,5 @@ def parse_options(argv: Optional[List[str]] = None) -> Options:
         sweep=args.sweep,
         zoom_from=args.zoom_from,
         exact_sweep=args.exact_sweep,
+        devices=args.devices,
     )

@@ -170,3 +170,53 @@ def test_perturb_rejects_unsupported_rule():
                   width=16, height=12, iterations=20, precision="perturb")
     with pytest.raises(ValueError, match="perturbation supports"):
         render_u8(scene)
+
+
+def test_devices_flag_sharded_still_bit_identical(tmp_path):
+    """--devices N routes a still render through the mesh (SURVEY §2 C7
+    TPU plan) and must be bit-identical to the single-device render; fern
+    routes the psum ensemble (C9)."""
+    import numpy as np
+    from PIL import Image
+
+    from fractal_tpu.__main__ import main
+
+    a, b = tmp_path / "one", tmp_path / "mesh"
+    # pin the tier: CPU auto resolves f64 single-device, the mesh kernels
+    # are the f32/ds32 pair — bit-equality is contracted per precision
+    args = ["48", "32", "-i", "30", "--format", "png", "--precision", "ds32"]
+    assert main(args + ["-o", str(a)]) == 0
+    assert main(args + ["-o", str(b), "--devices", "4"]) == 0
+    ia = np.asarray(Image.open(f"{a}.png"))
+    ib = np.asarray(Image.open(f"{b}.png"))
+    np.testing.assert_array_equal(ia, ib)
+
+    f = tmp_path / "fern"
+    rc = main(["32", "32", "-a", "fern", "-i", "20000", "--format", "png",
+               "-o", str(f), "--devices", "0"])  # 0 = all (8 virtual)
+    assert rc == 0
+    imf = np.asarray(Image.open(f"{f}.png"))
+    assert tuple(imf[0, 0]) == (240, 240, 240)  # background survives psum
+
+
+def test_devices_flag_rejects_non_still_modes():
+    import pytest
+
+    from fractal_tpu.cli import parse_options
+
+    for extra in (["--bands", "16"], ["--animate", "4", "--sweep", "zoom"],
+                  ["-g"]):
+        with pytest.raises(SystemExit):
+            parse_options(["32", "24", "--devices", "2"] + extra)
+    with pytest.raises(SystemExit):
+        parse_options(["32", "24", "--devices", "-2"])
+
+
+def test_devices_flag_errors_when_too_few(tmp_path):
+    import pytest
+
+    from fractal_tpu.__main__ import main
+
+    with pytest.raises(SystemExit, match="device"):
+        main(["16", "12", "--devices", "64", "--format", "png",
+              "-o", str(tmp_path / "x")])
