@@ -112,6 +112,8 @@ def _main(argv=None) -> int:
             ng = RENDER_STATS.get("n_glitch")
             nres = RENDER_STATS.get("n_residual", 0)
             print(f"{'tier':>16s}: {RENDER_STATS['tier']}")
+            if RENDER_STATS.get("route"):
+                print(f"{'kernel route':>16s}: {RENDER_STATS['route']}")
             print(f"{'glitch pixels':>16s}: "
                   f"{'n/a (fast tier)' if ng is None else int(ng)}")
             if nres is not None and int(nres):
