@@ -152,10 +152,12 @@ def render_escape_sharded(scene: Scene, mesh: Optional[Mesh] = None,
 
 @functools.partial(jax.jit, static_argnames=("iterations", "h", "w",
                                              "use_pallas", "mesh", "power",
-                                             "algo", "extreme"))
+                                             "algo", "extreme",
+                                             "bla_offsets"))
 def _perturb_sharded_jit(orbit, P, ns, iterations: int, h: int, w: int,
                          use_pallas: bool, mesh: Mesh, power: int = 2,
-                         algo: str = "mandelbrot", extreme: bool = False):
+                         algo: str = "mandelbrot", extreme: bool = False,
+                         bla_packed=None, bla_offsets=None):
     from fractal_tpu.ops.perturb import (
         PERT_CHUNK, PERT_CHUNK_CPU, perturb_whole_jnp,
     )
@@ -164,21 +166,25 @@ def _perturb_sharded_jit(orbit, P, ns, iterations: int, h: int, w: int,
     hp = _pad_rows(h, n)
     rows_local = hp // n
 
-    def local_stripe(orbit, P, ns):
+    def local_stripe(orbit, P, ns, *bla):
         d = jax.lax.axis_index(AXIS).astype(jnp.float32)
         p_local = P.at[6].set(jnp.float32(n)).at[7].set(d)
         return perturb_whole_jnp(
             orbit, p_local, ns[0], iterations=iterations,
             height=rows_local, width=w,
             chunk=PERT_CHUNK if use_pallas else PERT_CHUNK_CPU,
-            power=power, algo=algo, extreme=extreme)
+            power=power, algo=algo, extreme=extreme,
+            bla_packed=bla[0] if bla else None, bla_offsets=bla_offsets)
 
+    args = (orbit, P, ns)
+    if bla_packed is not None:
+        args = args + (bla_packed,)
     zr, zi, cnt, gl = shard_map(
         local_stripe, mesh=mesh,
-        in_specs=(P_spec(), P_spec(), P_spec()),
+        in_specs=(P_spec(),) * len(args),
         out_specs=(P_spec(AXIS),) * 4,
         check_vma=False,
-    )(orbit, P, ns)
+    )(*args)
 
     def deint(a):
         return (a.reshape(n, rows_local, w)
@@ -290,9 +296,14 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None,
     h, w, on_accel, ref_px, orbit, P, _, dev = _perturb_setup(scene, fast)
     ns = jnp.asarray([orbit.n_steps], jnp.int32)
     use_pallas = on_accel if use_pallas is None else use_pallas
+    # Extreme + a useful extended-exponent BLA table: dev carries
+    # (packed, bla_packed, bla_offsets) — the BLA twin with macro-skips
+    # beats the plain fe kernel (measured 43.3 vs 294.7 ms single-device,
+    # PERF.md), exactly mirroring render_perturb's single-device routing.
     fe_accel = (_is_extreme(scene)
                 and (jax.default_backend() not in ("cpu",)
-                     or use_pallas is True))
+                     or use_pallas is True)
+                and (on_accel or dev[1] is None))
     if fe_accel:
         # extreme depth: the floatexp Pallas kernel shards the same way
         # (planes replicated, global rows via the integer row map)
@@ -314,11 +325,14 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None,
         )
     else:
         packed = dev[0] if not on_accel else jnp.asarray(orbit.packed)
+        bla_packed = dev[1] if not on_accel else None
+        bla_offsets = dev[2] if not on_accel else None
         zr, zi, cnt, gl = _perturb_sharded_jit(
             packed, P, ns, scene.iterations, h, w,
             jax.default_backend() not in ("cpu",), mesh,
             power=eff_power(scene.algo, scene.power),
             algo=scene.algo, extreme=_is_extreme(scene),
+            bla_packed=bla_packed, bla_offsets=bla_offsets,
         )
     if not fast:
         zr, zi, cnt, _ = _apply_fallback(scene, zr, zi, cnt, gl, w, h)

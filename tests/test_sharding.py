@@ -243,3 +243,29 @@ def test_perturb_sharded_extreme_twin_matches_single_device(mesh):
     single = np.asarray(render_u8(scene))
     sharded = np.asarray(render_perturb_sharded(scene, mesh))
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_perturb_sharded_extreme_bla_matches_single_device(mesh):
+    """A BLA-useful extreme view (contracting minibrot orbit) must ride the
+    extended-exponent BLA twin on the mesh too (r4: the sharded path used
+    to fall back to the plain fe program and leave the 6.8x macro-skip
+    speedup on the table), and equal the single-device render bit-for-bit:
+    striping never changes a pixel's step/skip sequence (skips are per-
+    pixel masks; the row map is exact)."""
+    from fractal_tpu.ops import perturb as pt
+    from fractal_tpu.parallel.sharding import render_perturb_sharded
+    from tests.test_bla import MINIBROT_1E40_X, MINIBROT_1E40_Y
+
+    for c in (pt._ORBIT_CACHE, pt._C_ORBIT_CACHE, pt._REF_CACHE,
+              pt._MULTIREF_CACHE, pt._FIX_CACHE, pt._SLICE_CACHE):
+        c.clear()
+    scene = Scene(width=32, height=20, iterations=400,
+                  pos_str=(MINIBROT_1E40_X, MINIBROT_1E40_Y),
+                  scale=(1e40, 1e40), precision="perturb")
+    assert pt._is_extreme(scene)
+    w, h = scene.width, scene.height
+    ref, orbit = pt.resolve_reference(scene, w, h)
+    assert pt._fe_bla_useful(scene, orbit, ref, w, h)  # table engages
+    single = np.asarray(render_u8(scene))
+    sharded = np.asarray(render_perturb_sharded(scene, mesh))
+    np.testing.assert_array_equal(sharded, single)
