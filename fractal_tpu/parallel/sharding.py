@@ -288,7 +288,8 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None,
     2).  ``use_pallas`` overrides the backend choice (tests force the
     planes kernel through the Pallas interpreter on CPU meshes)."""
     from fractal_tpu.ops.perturb import (
-        _apply_fallback, _is_extreme, _perturb_setup, _planes_for,
+        RENDER_STATS, _apply_fallback, _is_extreme, _perturb_setup,
+        _planes_for,
     )
     from fractal_tpu.render import _color_and_downsample
 
@@ -296,6 +297,13 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None,
     h, w, on_accel, ref_px, orbit, P, _, dev = _perturb_setup(scene, fast)
     ns = jnp.asarray([orbit.n_steps], jnp.int32)
     use_pallas = on_accel if use_pallas is None else use_pallas
+    # Same depth observability as the single-device path (__main__ --profile
+    # and the viewer status line read these after every render)
+    RENDER_STATS.update(
+        n_glitch=None if fast else 0, n_residual=0,
+        tier=("p32" if fast else
+              "floatexp" if _is_extreme(scene) else "perturb"),
+        route="")
     # Extreme + a useful extended-exponent BLA table: dev carries
     # (packed, bla_packed, bla_offsets) — the BLA twin with macro-skips
     # beats the plain fe kernel (measured 43.3 vs 294.7 ms single-device,
@@ -308,6 +316,7 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None,
         # extreme depth: the floatexp Pallas kernel shards the same way
         # (planes replicated, global rows via the integer row map)
         planes = _planes_for(scene, orbit, ref_px, w, h, fast)
+        RENDER_STATS["route"] = "sharded-fe-kernel"
         zr, zi, cnt, gl = _perturb_sharded_fe_jit(
             planes, P, ns, scene.iterations, h, w, mesh,
             julia=scene.algo == "julia", glitch=not fast,
@@ -316,6 +325,7 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None,
     elif use_pallas and not _is_extreme(scene):
         planes = (dev if on_accel
                   else _planes_for(scene, orbit, ref_px, w, h, fast))
+        RENDER_STATS["route"] = "sharded-v2-kernel"
         zr, zi, cnt, gl = _perturb_sharded_pallas_jit(
             planes, P, ns, scene.iterations, h, w, mesh,
             julia=scene.algo == "julia", glitch=not fast,
@@ -327,6 +337,9 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None,
         packed = dev[0] if not on_accel else jnp.asarray(orbit.packed)
         bla_packed = dev[1] if not on_accel else None
         bla_offsets = dev[2] if not on_accel else None
+        RENDER_STATS["route"] = "sharded-xla-twin" + (
+            "-fe" if _is_extreme(scene) else "") + (
+            "-bla" if bla_packed is not None else "")
         zr, zi, cnt, gl = _perturb_sharded_jit(
             packed, P, ns, scene.iterations, h, w,
             jax.default_backend() not in ("cpu",), mesh,
@@ -335,7 +348,8 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None,
             bla_packed=bla_packed, bla_offsets=bla_offsets,
         )
     if not fast:
-        zr, zi, cnt, _ = _apply_fallback(scene, zr, zi, cnt, gl, w, h)
+        zr, zi, cnt, n_gl = _apply_fallback(scene, zr, zi, cnt, gl, w, h)
+        RENDER_STATS["n_glitch"] = int(n_gl)
     return _color_and_downsample(scene, zr, zi, cnt)
 
 

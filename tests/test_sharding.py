@@ -269,3 +269,25 @@ def test_perturb_sharded_extreme_bla_matches_single_device(mesh):
     single = np.asarray(render_u8(scene))
     sharded = np.asarray(render_perturb_sharded(scene, mesh))
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_perturb_sharded_populates_render_stats(mesh):
+    """Mesh renders carry the same depth observability as single-device
+    ones (--profile and the viewer status line read RENDER_STATS after
+    every render): tier, a sharded-* kernel route, and the glitch count."""
+    from fractal_tpu.ops.perturb import RENDER_STATS
+    from fractal_tpu.parallel.sharding import render_perturb_sharded
+
+    scene = Scene(width=32, height=24, iterations=100,
+                  pos=(-0.74364388703715871, 0.13182590420531198),
+                  scale=(1e15, 1e15), precision="perturb")
+    np.asarray(render_perturb_sharded(scene, mesh))
+    assert RENDER_STATS["tier"] == "perturb"
+    assert RENDER_STATS["route"].startswith("sharded-")
+    assert isinstance(RENDER_STATS["n_glitch"], int)
+
+    np.asarray(render_perturb_sharded(scene.replace(precision="p32"),
+                                      mesh, fast=True))
+    assert RENDER_STATS["tier"] == "p32"
+    assert RENDER_STATS["route"].startswith("sharded-")
+    assert RENDER_STATS["n_glitch"] is None  # fast tier: detection off
