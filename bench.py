@@ -44,7 +44,8 @@ def _device_preflight(timeout: int = 180, attempts: int = 3,
     code = ("import jax, jax.numpy as jnp; "
             "x = jnp.ones((64, 64)); "
             "print(float(jnp.sum(x @ x, dtype=jnp.float32)))")
-    err = "device preflight: no attempts made"
+    outcomes = []  # one entry per attempt — the error line must report
+    # what actually happened, not just the last attempt's failure mode
     for attempt in range(attempts):
         if attempt:
             time.sleep(retry_wait)
@@ -53,14 +54,15 @@ def _device_preflight(timeout: int = 180, attempts: int = 3,
                                capture_output=True, timeout=timeout,
                                env=dict(os.environ), text=True)
         except subprocess.TimeoutExpired:
-            err = (f"device preflight timed out after {timeout}s x "
-                   f"{attempts} attempts (hung backend)")
+            outcomes.append(f"timeout>{timeout}s (hung backend)")
             continue
         if r.returncode != 0:
-            err = f"device preflight failed: {r.stderr.strip()[-200:]}"
+            outcomes.append(f"rc={r.returncode}: "
+                            f"{r.stderr.strip()[-160:]}")
             continue
         return None
-    return err
+    return ("device preflight failed %d/%d attempts: [%s]"
+            % (len(outcomes), attempts, "; ".join(outcomes)))
 
 
 def headline_scene():

@@ -69,9 +69,10 @@ def _main(argv=None) -> int:
                                    progress=print if options.profile else None)
         elif options.devices != 1:
             # Multi-chip still render (SURVEY §2 C7/C9 TPU plan): rows
-            # interleaved across the mesh for escape scenes, per-device
-            # fern replicas combined with one psum — both bit-identical
-            # to single-device (tests/test_sharding.py).
+            # interleaved across the mesh for escape scenes (bit-identical
+            # to single-device), per-device fern replicas combined with one
+            # psum (independent seeded streams — same statistics, not the
+            # single-device point stream; tests/test_sharding.py).
             import jax
             import numpy as np
 
@@ -89,7 +90,8 @@ def _main(argv=None) -> int:
                 if options.scene.algo == "fern":
                     img_dev = render_fern_sharded(options.scene, mesh)
                 else:
-                    img_dev = render_escape_sharded(options.scene, mesh)
+                    img_dev = render_escape_sharded(
+                        options.scene, mesh, backend=options.backend)
             with phases.phase("device→host"):
                 img = np.asarray(jax.device_get(img_dev))
         else:

@@ -121,17 +121,24 @@ def _render_escape_sharded_jit(scene: Scene, params, precision: str,
 
 
 def render_escape_sharded(scene: Scene, mesh: Optional[Mesh] = None,
-                          precision: Optional[str] = None):
+                          precision: Optional[str] = None,
+                          backend: str = "auto"):
     """Render an escape-time scene across a device mesh.  Returns the
-    (height, width, 3) uint8 image (replicated on the host)."""
+    (height, width, 3) uint8 image (replicated on the host).
+
+    ``backend`` follows the single-device contract (render.py::render_u8):
+    "auto" picks the Pallas kernels off-CPU and the jnp twins on CPU;
+    "pallas"/"jnp" force one side — the CLI's --backend reaches meshes too."""
     from fractal_tpu.render import resolve_precision
 
     mesh = mesh if mesh is not None else make_mesh()
     precision = precision or resolve_precision(scene)
+    use_pallas = (None if backend == "auto" else backend == "pallas")
     if precision in ("perturb", "p32"):
         # p32 keeps its single-device semantics on a mesh (fast tier:
         # glitch detection and the exact fallback off — VERDICT r2 weak 2)
-        return render_perturb_sharded(scene, mesh, fast=precision == "p32")
+        return render_perturb_sharded(scene, mesh, fast=precision == "p32",
+                                      use_pallas=use_pallas)
     if precision not in ("f32", "ds32"):
         # No silent downgrade (r1 coerced f64/dd64 to ds32, losing ~58 bits
         # of a dd64 request without a word): the sharded kernels are the
@@ -140,7 +147,12 @@ def render_escape_sharded(scene: Scene, mesh: Optional[Mesh] = None,
             f"sharded rendering supports f32/ds32/perturb, not "
             f"{precision!r}; use precision='ds32' (f64-grade on TPU) or "
             f"'perturb' for deeper zooms")
-    use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas is None:
+        use_pallas = True
+    # Forced "pallas" on a CPU backend demotes to the bit-equal jnp twin,
+    # mirroring the single-device contract (render.py::_render_escape —
+    # interpret=True IS the twin, there is no Mosaic lowering on CPU).
+    use_pallas = use_pallas and jax.default_backend() not in ("cpu",)
     params = scene_params(scene)
     return _render_escape_sharded_jit(scene, params, precision, use_pallas, mesh)
 
@@ -296,6 +308,7 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None,
     mesh = mesh if mesh is not None else make_mesh()
     h, w, on_accel, ref_px, orbit, P, _, dev = _perturb_setup(scene, fast)
     ns = jnp.asarray([orbit.n_steps], jnp.int32)
+    forced = use_pallas  # caller's intent: None = auto, True/False = forced
     use_pallas = on_accel if use_pallas is None else use_pallas
     # Same depth observability as the single-device path (__main__ --profile
     # and the viewer status line read these after every render)
@@ -308,10 +321,14 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None,
     # (packed, bla_packed, bla_offsets) — the BLA twin with macro-skips
     # beats the plain fe kernel (measured 43.3 vs 294.7 ms single-device,
     # PERF.md), exactly mirroring render_perturb's single-device routing.
+    # (_perturb_setup never puts extreme planes on-device — on_accel is
+    # False here — so dev is always the (packed, bla_packed, bla_offsets)
+    # host triple; a usable BLA table routes to the fe-BLA twin below.)
     fe_accel = (_is_extreme(scene)
-                and (jax.default_backend() not in ("cpu",)
-                     or use_pallas is True)
-                and (on_accel or dev[1] is None))
+                and (forced is True
+                     or (forced is None
+                         and jax.default_backend() not in ("cpu",)))
+                and dev[1] is None)
     if fe_accel:
         # extreme depth: the floatexp Pallas kernel shards the same way
         # (planes replicated, global rows via the integer row map)

@@ -249,7 +249,7 @@ def main():
     err = _device_preflight(timeout=120, attempts=1)
     if err:
         print(json.dumps({"error": err}))
-        return
+        return 2
     from fractal_tpu.config import Scene
     import fractal_tpu.ops.perturb as pt
 
@@ -313,7 +313,18 @@ def main():
               flush=True)
 
     print(json.dumps(out))
+    # Correctness gates (the docstring's contract): the probe's own 'base'
+    # twin and the candidate 'dout' variant must be cnt-bit-identical to the
+    # production kernel — a nonzero count here disqualifies 'dout' from
+    # productionization no matter how fast it is.  every2/nofreeze are
+    # expected to shift counts (preview-tier / upper-bound only).
+    failures = [v for v in ("base", "dout") if out[f"{v}_cnt_mismatch"]]
+    if failures:
+        print(f"FAIL: cnt mismatch in gated variant(s): {failures}")
+        return 1
+    print("PASS: base and dout cnt-bit-identical to production")
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
