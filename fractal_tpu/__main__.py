@@ -69,10 +69,10 @@ def _main(argv=None) -> int:
                                    progress=print if options.profile else None)
         elif options.devices != 1:
             # Multi-chip still render (SURVEY §2 C7/C9 TPU plan): rows
-            # interleaved across the mesh for escape scenes (bit-identical
-            # to single-device), per-device fern replicas combined with one
-            # psum (independent seeded streams — same statistics, not the
-            # single-device point stream; tests/test_sharding.py).
+            # interleaved across the mesh for escape scenes, the fern's
+            # walker set sliced per device with its integer histograms
+            # psum-combined — both bit-identical to single-device
+            # (tests/test_sharding.py).
             import jax
             import numpy as np
 

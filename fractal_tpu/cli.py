@@ -165,13 +165,12 @@ def build_parser() -> argparse.ArgumentParser:
     ext.add_argument("--devices", type=int, default=1, metavar="N",
                      help="Render across the first N devices of a "
                           "jax.sharding mesh. Escape renders interleave "
-                          "rows per device and are bit-identical to "
-                          "single-device; fern walks one replica per "
-                          "device (independent seeded streams, iterations "
-                          "split N ways) and psum-combines them — same "
-                          "statistics, not the single-device point stream. "
-                          "0 = all available devices; default 1 = single "
-                          "device. Stills only (not --bands/--animate/-g).")
+                          "rows per device; fern slices the walker set "
+                          "per device and psum-combines the integer "
+                          "histograms — both bit-identical to "
+                          "single-device. 0 = all available devices; "
+                          "default 1 = single device. Stills only (not "
+                          "--bands/--animate/-g).")
     ext.add_argument("--bands", type=int, default=0, metavar="ROWS",
                      help="Render in horizontal bands of ROWS rows "
                           "(checkpoint/resume for huge images; 0 = one shot).")

@@ -123,7 +123,7 @@ def lut_index(hits, length: int):
 
 @functools.partial(
     jax.jit, static_argnames=("width", "height", "walkers", "steps",
-                              "replicas", "burn_in")
+                              "replicas", "burn_in", "rng_walkers")
 )
 def _fern_hits(
     scene: Scene,
@@ -134,9 +134,20 @@ def _fern_hits(
     replicas: int,
     seed,
     burn_in: int = 64,
+    rng_walkers: int = 0,
+    lo=0,
 ):
     """Run the chaos game; return per-replica hit-count grids
-    (replicas, H, W) int32."""
+    (replicas, H, W) int32.
+
+    ``rng_walkers`` (walker-sharded exact mode, sharding.py): draw the
+    per-step uniforms for the FULL ``rng_walkers``-wide single-device
+    walker set but simulate only the ``walkers``-wide slice starting at
+    ``lo`` — the slice's histogram contributions are bit-identical to the
+    same walkers in the single-device run (the key chain never depends on
+    the walker axis), so integer psums of the slices reproduce the
+    single-device histogram exactly.  Slice walkers whose global index is
+    past ``rng_walkers`` are padding: they walk but never plot."""
     f32 = jnp.float32
     w_f = jnp.asarray(float(width), f32)
     h_f = jnp.asarray(float(height), f32)
@@ -150,9 +161,22 @@ def _fern_hits(
     y0 = jnp.full((k,), pos_im * h_f, f32)
     key0 = jax.random.PRNGKey(seed)
 
+    lo = jnp.asarray(lo, jnp.int32)
+
     def walk_step(x, y, key):
         key, sub = jax.random.split(key)
-        r = jax.random.uniform(sub, (k,), f32)
+        if rng_walkers:
+            # Exact-slice mode: the full-width draw IS the single-device
+            # stream; pad to n·k so the last slice never clamps back onto
+            # a neighbour's walkers (double-count), then slice.
+            r_full = jax.random.uniform(sub, (rng_walkers,), f32)
+            pad = (-rng_walkers) % k
+            if pad:
+                r_full = jnp.concatenate(
+                    [r_full, jnp.zeros((pad,), f32)])
+            r = jax.lax.dynamic_slice(r_full, (lo,), (k,))
+        else:
+            r = jax.random.uniform(sub, (k,), f32)
 
         # Branch coefficients via a 3-deep select chain instead of
         # jnp.take: the (k, 6) gather ran at ~3 ns/point on v5e (gathers
@@ -181,6 +205,10 @@ def _fern_hits(
         px = jnp.maximum(jnp.trunc(px_f), 0.0).astype(jnp.int32)
         py = jnp.maximum(jnp.trunc(py_f), 0.0).astype(jnp.int32)
         valid = (px < width) & (py < height)
+        if rng_walkers:
+            # padding walkers (global index past the real walker set) walk
+            # but never plot
+            valid &= (lo + jnp.arange(k, dtype=jnp.int32)) < rng_walkers
         flat = py * width + px
         return jnp.where(valid, flat, width * height)  # OOB index → dropped
 

@@ -414,16 +414,73 @@ def _render_fern_sharded_jit(scene: Scene, walkers: int, steps: int,
     )(curve)
 
 
-def render_fern_sharded(scene: Scene, mesh: Optional[Mesh] = None,
-                        walkers: int = None, compat_replicas: bool = False):
-    """Fern across a device mesh: each device walks its own replica,
-    one psum combines them (the reference's combine_images all-reduce,
-    src/lib.rs:303-318, as a single ICI collective).
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_total", "k_dev", "steps", "replicas", "mesh",
+                     "burn_in", "ss"),
+)
+def _render_fern_sharded_exact_jit(scene: Scene, k_total: int, k_dev: int,
+                                   steps: int, replicas: int, mesh: Mesh,
+                                   curve, burn_in: int, ss: int):
+    """Walker-sharded exact mode: device d simulates the single-device
+    walker slice [d·k_dev, (d+1)·k_dev) against the SAME per-step uniform
+    stream (drawn full-width, sliced — the key chain never depends on the
+    walker axis), so the int32 histogram psum reproduces the single-device
+    histogram bit-for-bit and the darkening post-pass is byte-identical to
+    render_fern."""
+    from fractal_tpu.models.fern import (
+        _fern_hits, apply_darkening, saturating_sum_u8,
+    )
 
-    The per-device walker count defaults to the single-device sweep's
-    optimum (models/fern.py DEFAULT_WALKERS — each mesh device IS that
-    device; the scatter-bound envelope is identical), clamped to the
-    per-device point budget for tiny test scenes."""
+    w, h = scene.width * ss, scene.height * ss
+
+    def local_slice(curve):
+        d = jax.lax.axis_index(AXIS)
+        hits = _fern_hits(
+            scene, w, h, k_dev, steps, replicas, scene.seed,
+            burn_in=burn_in, rng_walkers=k_total, lo=d * k_dev,
+        )
+        hits = jax.lax.psum(hits, AXIS)  # exact: integer partial sums
+        if replicas == 1:
+            img = apply_darkening(hits[0], curve)
+        else:
+            img = saturating_sum_u8(apply_darkening(hits, curve))
+        if ss > 1:
+            from fractal_tpu.ops.coloring import downsample_box
+
+            img = downsample_box(img.astype(jnp.float32), ss)
+        return img
+
+    return shard_map(
+        local_slice,
+        mesh=mesh,
+        in_specs=P(),
+        out_specs=P(),
+        check_vma=False,
+    )(curve)
+
+
+def render_fern_sharded(scene: Scene, mesh: Optional[Mesh] = None,
+                        walkers: int = None, compat_replicas: bool = False,
+                        exact: bool = True):
+    """Fern across a device mesh, one psum combine (the reference's
+    combine_images all-reduce, src/lib.rs:303-318, as a single ICI
+    collective).  Three modes:
+
+    * ``exact`` (default): walkers of the single-device run are sliced
+      across devices against the same RNG stream — bit-identical to
+      ``render_fern`` at any mesh size.  The per-step uniforms are drawn
+      full-width on every device (the walk, scatter and histogram all
+      shard; only the RNG replicate).
+    * ``exact=False`` (ensemble): each device walks an independent seeded
+      replica with iterations/N points and the hit grids psum into one
+      global fern — everything shards including the RNG; same statistics,
+      not the single-device point stream.
+    * ``compat_replicas``: the reference's N-thread semantics — darken
+      each replica independently, saturating-add (src/lib.rs:271-319).
+
+    The walker count defaults to the single-device sweep's optimum
+    (models/fern.py DEFAULT_WALKERS), clamped to the point budget."""
     from fractal_tpu.models.fern import DEFAULT_WALKERS, darkening_curve
 
     if walkers is None:
@@ -431,10 +488,30 @@ def render_fern_sharded(scene: Scene, mesh: Optional[Mesh] = None,
 
     mesh = mesh if mesh is not None else make_mesh()
     n = mesh.shape[AXIS]
+    from fractal_tpu.models.fern import _burn_in
+
+    if exact and not compat_replicas:
+        ss = scene.supersample
+        replicas = max(1, scene.fern_replicas)
+        total = max(1, scene.iterations)
+        per_replica = max(1, total // replicas)
+        k_total = int(min(walkers, per_replica))
+        steps = max(1, per_replica // k_total)
+        k_dev = -(-k_total // n)
+        curve = jnp.asarray(darkening_curve(
+            scene.secondary_color.as_tuple(),
+            scene.primary_color.as_tuple(),
+            float(scene.color_weight),
+        ))
+        return _render_fern_sharded_exact_jit(
+            scene, k_total, k_dev, steps, replicas, mesh, curve,
+            burn_in=_burn_in(scene, scene.width * ss, scene.height * ss),
+            ss=ss,
+        )
+
     per_dev = max(1, scene.iterations // n)
     k = int(min(walkers, per_dev))
     steps = max(1, per_dev // k)
-    from fractal_tpu.models.fern import _burn_in
 
     curve = jnp.asarray(darkening_curve(
         scene.secondary_color.as_tuple(),

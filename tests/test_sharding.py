@@ -291,3 +291,69 @@ def test_perturb_sharded_populates_render_stats(mesh):
     assert RENDER_STATS["tier"] == "p32"
     assert RENDER_STATS["route"].startswith("sharded-")
     assert RENDER_STATS["n_glitch"] is None  # fast tier: detection off
+
+
+# --- fern exact walker-sharded mode (default): bit-identical to 1-device ---
+
+
+def test_fern_sharded_exact_matches_single_device(mesh):
+    """Default sharded fern slices the single-device walker set across the
+    mesh against the same RNG stream; the int32 histogram psum makes the
+    render bit-identical to render_fern (SURVEY §4: "assert sharded output
+    == single-device output" for the fern psum)."""
+    from fractal_tpu.models.fern import render_fern
+
+    scene = scene_defaults("fern").replace(width=48, height=48,
+                                           iterations=20_000, seed=3)
+    single = np.asarray(render_fern(scene))
+    sharded = np.asarray(render_fern_sharded(scene, mesh))
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_fern_sharded_exact_replicas_and_padding(mesh):
+    """fern_replicas > 1 runs the same per-replica folds; a walker count
+    not divisible by the mesh (6666/8) exercises the padding-walker mask
+    (slices past the real walker set must never plot)."""
+    from fractal_tpu.models.fern import render_fern
+
+    scene = scene_defaults("fern").replace(width=40, height=40,
+                                           iterations=20_000,
+                                           fern_replicas=3, seed=11)
+    single = np.asarray(render_fern(scene))
+    sharded = np.asarray(render_fern_sharded(scene, mesh))
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_fern_sharded_exact_supersample(mesh):
+    from fractal_tpu.models.fern import render_fern
+
+    scene = scene_defaults("fern").replace(width=24, height=24,
+                                           iterations=10_000,
+                                           supersample=2, seed=5)
+    single = np.asarray(render_fern(scene))
+    sharded = np.asarray(render_fern_sharded(scene, mesh))
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_fern_sharded_exact_fewer_walkers_than_devices(mesh):
+    """iterations < mesh size still renders (k_dev=1; most devices carry
+    only padding walkers) and matches single-device exactly."""
+    from fractal_tpu.models.fern import render_fern
+
+    scene = scene_defaults("fern").replace(width=16, height=16,
+                                           iterations=5, seed=2)
+    single = np.asarray(render_fern(scene))
+    sharded = np.asarray(render_fern_sharded(scene, mesh))
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_fern_sharded_ensemble_mode_still_available(mesh):
+    """exact=False keeps the fully-sharded ensemble mode (independent
+    per-device streams psum'd into one global fern): deterministic, same
+    statistics, documented as NOT the single-device point stream."""
+    scene = scene_defaults("fern").replace(width=48, height=48,
+                                           iterations=40_000, seed=7)
+    a = np.asarray(render_fern_sharded(scene, mesh, exact=False))
+    b = np.asarray(render_fern_sharded(scene, mesh, exact=False))
+    np.testing.assert_array_equal(a, b)
+    assert tuple(a[0, 0]) == (240, 240, 240)
