@@ -138,8 +138,24 @@ def _render_animation(options, phases, trace_cm) -> int:
 
     scene = options.scene
     n = options.animate
+    mesh = None
+    if options.devices != 1:
+        # frame-parallel DP (frames shard across the mesh; bit-identical
+        # to the single-device sweep — tests/test_sharding.py)
+        import jax
+
+        from fractal_tpu.parallel.sharding import make_mesh
+
+        avail = len(jax.devices())
+        nd = avail if options.devices == 0 else options.devices
+        if nd > avail:
+            raise ValueError(
+                f"--devices {nd}: only {avail} device(s) available")
+        mesh = make_mesh(nd)
     with trace_cm:
-        with phases.phase("render (batched sweep)"):
+        with phases.phase("render (batched sweep)"
+                          if mesh is None else
+                          f"render ({mesh.devices.size}-device sweep)"):
             if options.sweep == "zoom":
                 from fractal_tpu.animate import render_zoom_sweep
 
@@ -147,14 +163,15 @@ def _render_animation(options, phases, trace_cm) -> int:
                 end = max(abs(scene.scale[0]), abs(scene.scale[1]))
                 scales = np.geomspace(start, end, n)
                 frames = render_zoom_sweep(scene, scales,
-                                           exact=options.exact_sweep)
+                                           exact=options.exact_sweep,
+                                           mesh=mesh)
             else:
                 from fractal_tpu.animate import julia_c_path, render_sweep
 
                 cs = julia_c_path(np.linspace(0.0, 1.0, n, endpoint=False))
                 frames = render_sweep(
                     [scene.replace(julia_set=(float(a), float(b)))
-                     for a, b in cs])
+                     for a, b in cs], mesh=mesh)
     with phases.phase("encode+write"):
         paths = []
         for i in range(n):

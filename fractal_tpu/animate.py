@@ -41,15 +41,27 @@ from fractal_tpu.render import (
 )
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "treedef"))
-def _sweep_jit(scene: Scene, leaves_batched, treedef, precision: str):
-    """Render one frame per entry of the batched dynamic leaves."""
-
+def _frame_fn(treedef, precision: str):
     def one_frame(leaves):
         sc = jax.tree_util.tree_unflatten(treedef, leaves)
         return _render_escape_jit(sc, precision)
 
-    return jax.lax.map(one_frame, leaves_batched)
+    return one_frame
+
+
+def _frame_fn_params(treedef, precision: str, interpret: bool):
+    def one_frame(args):
+        leaves, params = args
+        sc = jax.tree_util.tree_unflatten(treedef, leaves)
+        return _render_escape_pallas_jit(sc, params, precision, interpret)
+
+    return one_frame
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "treedef"))
+def _sweep_jit(scene: Scene, leaves_batched, treedef, precision: str):
+    """Render one frame per entry of the batched dynamic leaves."""
+    return jax.lax.map(_frame_fn(treedef, precision), leaves_batched)
 
 
 @functools.partial(jax.jit, static_argnames=("precision", "treedef",
@@ -59,13 +71,47 @@ def _sweep_params_jit(scene: Scene, leaves_batched, params_batched, treedef,
     """ds32/dd64 sweep: per-frame exact viewport params ride alongside the
     traced leaves; each frame runs the same Pallas (or jnp-twin) kernel as
     a still render — no precision downgrade."""
+    return jax.lax.map(_frame_fn_params(treedef, precision, interpret),
+                       (leaves_batched, params_batched))
 
-    def one_frame(args):
-        leaves, params = args
-        sc = jax.tree_util.tree_unflatten(treedef, leaves)
-        return _render_escape_pallas_jit(sc, params, precision, interpret)
 
-    return jax.lax.map(one_frame, (leaves_batched, params_batched))
+def _pad_frame_axis(tree, n_frames: int, n_dev: int):
+    """Pad every leaf's leading (frame) axis to a multiple of the mesh size
+    by repeating the last frame — padding frames render (identical work per
+    device) and are sliced off after the gather."""
+    pad = (-n_frames) % n_dev
+    if not pad:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: jnp.concatenate(
+            [x, jnp.repeat(x[-1:], pad, axis=0)]), tree)
+
+
+def _run_frames_sharded(mesh, one_frame, batched, n_frames: int,
+                        replicated=()):
+    """Frame-parallel DP: shard the frame axis across the mesh, each device
+    lax.maps its local slice (one frame's iteration state resident at a
+    time — the same memory envelope as the single-device sweep, n-way
+    parallel).  Every frame runs the identical per-frame program, so the
+    gathered sweep is bit-identical to the unsharded one."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec
+
+    from fractal_tpu.parallel.sharding import AXIS
+
+    n = mesh.shape[AXIS]
+    batched = _pad_frame_axis(batched, n_frames, n)
+
+    def local(batched, replicated):
+        return jax.lax.map(lambda a: one_frame(a, *replicated), batched)
+
+    out = shard_map(
+        local, mesh=mesh,
+        in_specs=(PartitionSpec(AXIS), PartitionSpec()),
+        out_specs=PartitionSpec(AXIS),
+        check_vma=False,
+    )(batched, replicated)
+    return jax.tree_util.tree_map(lambda x: x[:n_frames], out)
 
 
 def _batch_leaves(scenes, treedef, dtype):
@@ -90,7 +136,8 @@ def _batch_leaves(scenes, treedef, dtype):
         ]
 
 
-def render_sweep(scenes: Sequence[Scene], device_resident: bool = False):
+def render_sweep(scenes: Sequence[Scene], device_resident: bool = False,
+                 mesh=None):
     """Render a sequence of scenes that differ only in traced (dynamic)
     parameters — julia_set, pos, scale, exposure, colors, limits — as one
     compiled program.  Returns (frames, H, W, 3) uint8 (host numpy, or the
@@ -103,6 +150,11 @@ def render_sweep(scenes: Sequence[Scene], device_resident: bool = False):
     downgrade is gone).  Sweeps whose depth needs perturbation must go
     through ``render_zoom_sweep`` (per-frame reference orbits are the
     per-frame cost the batched sweep avoids); a ValueError says so.
+
+    ``mesh``: frame-parallel DP — the frame axis shards across the device
+    mesh, each device lax.maps its slice (same per-frame program, same
+    memory envelope), so the sweep is bit-identical to the unsharded one
+    and ~N× faster wall-clock.
     """
     if not scenes:
         raise ValueError("empty sweep")
@@ -125,8 +177,18 @@ def render_sweep(scenes: Sequence[Scene], device_resident: bool = False):
         params_batched = jnp.stack(
             [scene_params(s, dtype=p_dt) for s in scenes])
         interpret = jax.default_backend() == "cpu"
-        out = _sweep_params_jit(first, leaves_batched, params_batched,
-                                treedef, precision, interpret)
+        if mesh is not None:
+            out = _run_frames_sharded(
+                mesh, lambda a: _frame_fn_params(treedef, precision,
+                                                 interpret)(a),
+                (leaves_batched, params_batched), len(scenes))
+        else:
+            out = _sweep_params_jit(first, leaves_batched, params_batched,
+                                    treedef, precision, interpret)
+    elif mesh is not None:
+        out = _run_frames_sharded(
+            mesh, lambda a: _frame_fn(treedef, precision)(a),
+            leaves_batched, len(scenes))
     else:
         out = _sweep_jit(first, leaves_batched, treedef, precision)
     if device_resident:
@@ -134,16 +196,12 @@ def render_sweep(scenes: Sequence[Scene], device_resident: bool = False):
     return np.asarray(jax.device_get(out))
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "julia",
-                                             "on_accel", "treedef",
-                                             "glitch", "power", "algo",
-                                             "extreme", "fe_kernel"))
-def _zoom_sweep_jit(scene: Scene, leaves_batched, params_batched, planes,
-                    orbit_packed, n_steps, treedef, *, height: int,
-                    width: int, julia: bool, on_accel: bool,
-                    glitch: bool = False, power: int = 2,
-                    algo: str = "mandelbrot", extreme: bool = False,
-                    fe_kernel: bool = False):
+def _zoom_frame_fn(scene: Scene, treedef, *, height: int, width: int,
+                   julia: bool, on_accel: bool, glitch: bool, power: int,
+                   algo: str, extreme: bool, fe_kernel: bool):
+    """Per-frame zoom-sweep program, shared by the single-device lax.map
+    and the frame-sharded mesh twin (planes/orbit ride as replicated
+    extras so the mesh version can shard only the frame axis)."""
     from fractal_tpu.ops.perturb import (
         PERT_CHUNK,
         PERT_CHUNK_CPU,
@@ -153,7 +211,7 @@ def _zoom_sweep_jit(scene: Scene, leaves_batched, params_batched, planes,
     )
     from fractal_tpu.render import _color_and_downsample
 
-    def one_frame(args):
+    def one_frame(args, planes, orbit_packed, n_steps):
         leaves, P = args
         sc = jax.tree_util.tree_unflatten(treedef, leaves)
         if extreme:
@@ -185,11 +243,31 @@ def _zoom_sweep_jit(scene: Scene, leaves_batched, params_batched, planes,
         return (_color_and_downsample(sc, zr, zi, cnt),
                 jnp.sum(gl, dtype=jnp.int32))
 
-    return jax.lax.map(one_frame, (leaves_batched, params_batched))
+    return one_frame
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "julia",
+                                             "on_accel", "treedef",
+                                             "glitch", "power", "algo",
+                                             "extreme", "fe_kernel"))
+def _zoom_sweep_jit(scene: Scene, leaves_batched, params_batched, planes,
+                    orbit_packed, n_steps, treedef, *, height: int,
+                    width: int, julia: bool, on_accel: bool,
+                    glitch: bool = False, power: int = 2,
+                    algo: str = "mandelbrot", extreme: bool = False,
+                    fe_kernel: bool = False):
+    one_frame = _zoom_frame_fn(
+        scene, treedef, height=height, width=width, julia=julia,
+        on_accel=on_accel, glitch=glitch, power=power, algo=algo,
+        extreme=extreme, fe_kernel=fe_kernel)
+    return jax.lax.map(
+        lambda a: one_frame(a, planes, orbit_packed, n_steps),
+        (leaves_batched, params_batched))
 
 
 def render_zoom_sweep(scene: Scene, scales: Sequence[float],
-                      device_resident: bool = False, exact: bool = False):
+                      device_resident: bool = False, exact: bool = False,
+                      mesh=None):
     """Deep-zoom video: render ``scene`` at each zoom level in ``scales``
     (classic use: log-spaced 1e2 → 1e12) as ONE device program.
 
@@ -276,13 +354,29 @@ def render_zoom_sweep(scene: Scene, scales: Sequence[float],
     else:
         params_batched = jnp.stack(
             [_pert_params(f, ref, w, h, orbit=sa_orbit) for f in frames])
-    out, glc = _zoom_sweep_jit(
-        scene, leaves_batched, params_batched, planes,
-        jnp.asarray(orbit.packed), jnp.int32(orbit.n_steps), treedef,
-        height=h, width=w, julia=scene.algo == "julia", on_accel=on_accel,
-        glitch=exact, power=eff_power(scene.algo, scene.power),
-        algo=scene.algo, extreme=extreme,
-        fe_kernel=on_accel)
+    if mesh is not None:
+        # Frame-parallel DP: the frame axis shards across the mesh, the
+        # shared orbit/planes replicate (they're identical for every
+        # frame), each device lax.maps its slice — bit-identical to the
+        # unsharded sweep (same per-frame program).
+        one_frame = _zoom_frame_fn(
+            scene, treedef, height=h, width=w,
+            julia=scene.algo == "julia", on_accel=on_accel, glitch=exact,
+            power=eff_power(scene.algo, scene.power), algo=scene.algo,
+            extreme=extreme, fe_kernel=on_accel)
+        out, glc = _run_frames_sharded(
+            mesh, one_frame, (leaves_batched, params_batched), len(frames),
+            replicated=(planes, jnp.asarray(orbit.packed),
+                        jnp.int32(orbit.n_steps)))
+    else:
+        out, glc = _zoom_sweep_jit(
+            scene, leaves_batched, params_batched, planes,
+            jnp.asarray(orbit.packed), jnp.int32(orbit.n_steps), treedef,
+            height=h, width=w, julia=scene.algo == "julia",
+            on_accel=on_accel, glitch=exact,
+            power=eff_power(scene.algo, scene.power),
+            algo=scene.algo, extreme=extreme,
+            fe_kernel=on_accel)
     if exact:
         from fractal_tpu.ops.perturb import render_perturb
 

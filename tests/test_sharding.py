@@ -357,3 +357,51 @@ def test_fern_sharded_ensemble_mode_still_available(mesh):
     b = np.asarray(render_fern_sharded(scene, mesh, exact=False))
     np.testing.assert_array_equal(a, b)
     assert tuple(a[0, 0]) == (240, 240, 240)
+
+
+# --- frame-parallel animation sweeps: bit-identical to unsharded ----------
+
+
+def test_sweep_sharded_matches_unsharded(mesh):
+    """Julia parameter sweep with the frame axis sharded across the mesh
+    (6 frames on 8 devices exercises the repeat-last-frame padding) must
+    equal the single-device batched sweep bit-for-bit — every frame runs
+    the identical per-frame program."""
+    from fractal_tpu.animate import julia_c_path, render_sweep
+
+    cs = julia_c_path(np.linspace(0.0, 1.0, 6, endpoint=False))
+    scenes = [Scene(algo="julia", width=40, height=30, iterations=60,
+                    julia_set=(float(a), float(b)), pos=(0.0, 0.0),
+                    scale=(0.4, 0.4))
+              for a, b in cs]
+    single = render_sweep(scenes)
+    sharded = render_sweep(scenes, mesh=mesh)
+    np.testing.assert_array_equal(sharded, single)
+    assert sharded.shape[0] == 6  # padding frames sliced off
+
+
+def test_sweep_sharded_ds32_params_path(mesh):
+    """Mid-depth sweeps ride the ds32 params program; the sharded twin
+    must keep the exact per-frame viewport constants."""
+    from fractal_tpu.animate import render_sweep
+
+    scenes = [Scene(width=32, height=24, iterations=80,
+                    pos=(-0.7436447860, 0.1318252536),
+                    scale=(s, s)) for s in (1e5, 3e5, 5e5)]
+    single = render_sweep(scenes)
+    sharded = render_sweep(scenes, mesh=mesh)
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_zoom_sweep_sharded_matches_unsharded(mesh):
+    """Deep-zoom sweep (shared orbit replicated, frames sharded): the
+    mesh render equals the single-device program bit-for-bit."""
+    from fractal_tpu.animate import render_zoom_sweep
+
+    scene = Scene(width=32, height=24, iterations=200,
+                  pos=(-0.74364388703715871, 0.13182590420531198),
+                  scale=(1e15, 1e15))
+    scales = np.geomspace(0.4, 1e15, 5)
+    single = render_zoom_sweep(scene, scales)
+    sharded = render_zoom_sweep(scene, scales, mesh=mesh)
+    np.testing.assert_array_equal(sharded, single)
