@@ -21,6 +21,21 @@ from fractal_tpu.cli import parse_options  # noqa: E402
 from fractal_tpu.utils.timing import Phases  # noqa: E402
 
 
+def _mesh_for(options):
+    """The --devices N mesh (None for the default single-device path)."""
+    if options.devices == 1:
+        return None
+    import jax
+
+    from fractal_tpu.parallel.sharding import make_mesh
+
+    avail = len(jax.devices())
+    n = avail if options.devices == 0 else options.devices
+    if n > avail:
+        raise ValueError(f"--devices {n}: only {avail} device(s) available")
+    return make_mesh(n)
+
+
 def main(argv=None) -> int:
     try:
         return _main(argv)
@@ -63,10 +78,13 @@ def _main(argv=None) -> int:
         if options.bands:
             from fractal_tpu.tiled import render_tiled
 
-            with phases.phase("render (banded)"):
+            mesh = _mesh_for(options)
+            with phases.phase("render (banded)" if mesh is None else
+                              f"render (banded, {mesh.devices.size}-device)"):
                 img = render_tiled(options.scene, options.bands,
                                    options.ckpt_dir,
-                                   progress=print if options.profile else None)
+                                   progress=print if options.profile else None,
+                                   mesh=mesh)
         elif options.devices != 1:
             # Multi-chip still render (SURVEY §2 C7/C9 TPU plan): rows
             # interleaved across the mesh for escape scenes, the fern's
@@ -77,16 +95,11 @@ def _main(argv=None) -> int:
             import numpy as np
 
             from fractal_tpu.parallel.sharding import (
-                make_mesh, render_escape_sharded, render_fern_sharded,
+                render_escape_sharded, render_fern_sharded,
             )
 
-            avail = len(jax.devices())
-            n = avail if options.devices == 0 else options.devices
-            if n > avail:
-                raise ValueError(
-                    f"--devices {n}: only {avail} device(s) available")
-            mesh = make_mesh(n)
-            with phases.phase(f"render ({n}-device mesh)"):
+            mesh = _mesh_for(options)
+            with phases.phase(f"render ({mesh.devices.size}-device mesh)"):
                 if options.scene.algo == "fern":
                     img_dev = render_fern_sharded(options.scene, mesh)
                 else:
@@ -138,20 +151,9 @@ def _render_animation(options, phases, trace_cm) -> int:
 
     scene = options.scene
     n = options.animate
-    mesh = None
-    if options.devices != 1:
-        # frame-parallel DP (frames shard across the mesh; bit-identical
-        # to the single-device sweep — tests/test_sharding.py)
-        import jax
-
-        from fractal_tpu.parallel.sharding import make_mesh
-
-        avail = len(jax.devices())
-        nd = avail if options.devices == 0 else options.devices
-        if nd > avail:
-            raise ValueError(
-                f"--devices {nd}: only {avail} device(s) available")
-        mesh = make_mesh(nd)
+    # frame-parallel DP (frames shard across the mesh; bit-identical to
+    # the single-device sweep — tests/test_sharding.py)
+    mesh = _mesh_for(options)
     with trace_cm:
         with phases.phase("render (batched sweep)"
                           if mesh is None else

@@ -157,6 +157,66 @@ def render_escape_sharded(scene: Scene, mesh: Optional[Mesh] = None,
     return _render_escape_sharded_jit(scene, params, precision, use_pallas, mesh)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("precision", "use_pallas", "mesh", "rows")
+)
+def _render_band_sharded_jit(scene: Scene, params, precision: str,
+                             use_pallas: bool, mesh: Mesh, rows: int):
+    """One horizontal band of the supersampled grid, its rows interleaved
+    across the mesh: device d owns global rows {start + r·n + d} — the
+    band's global start (params[15], set by the caller exactly like the
+    single-device band path, render.py::_render_band_jit) composes with
+    the interleave stride through the same exact integer row map, so
+    banded + sharded stays bit-identical to the one-shot render."""
+    n = mesh.shape[AXIS]
+    ss = scene.supersample
+    w = scene.width * ss
+    rp = _pad_rows(rows, n)
+    rows_local = rp // n
+
+    def local_stripe(params):
+        d = jax.lax.axis_index(AXIS).astype(jnp.float32)
+        p_local = (params.at[14].set(jnp.float32(n))
+                   .at[15].set(params[15] + d))
+        zr, zi, cnt = iterate_params(
+            p_local,
+            algo=scene.algo,
+            power=scene.power,
+            iterations=scene.iterations,
+            precision=precision,
+            height=rows_local,
+            width=w,
+            interpret=not use_pallas,
+            periodicity=not scene.inside,
+        )
+        img = coloring.color_escape_result(
+            zr, zi, cnt,
+            iterations=scene.iterations,
+            stable_limit=scene.stable_limit,
+            exposure=scene.exposure,
+            primary_color=scene.primary_color.as_tuple(),
+            secondary_color=scene.secondary_color.as_tuple(),
+            inside=scene.inside,
+            smooth=scene.smooth,
+            as_float=True,
+        )
+        return img
+
+    stripes = shard_map(
+        local_stripe,
+        mesh=mesh,
+        in_specs=P(),
+        out_specs=P(AXIS),
+        check_vma=False,
+    )(params)
+    img = (
+        stripes.reshape(n, rows_local, w, 3)
+        .transpose(1, 0, 2, 3)
+        .reshape(rp, w, 3)[:rows]
+    )
+    return coloring.downsample_box(img, ss)
+
+
 # ---------------------------------------------------------------------------
 # Perturbation: same row-interleaved spatial DP, orbit table replicated
 # ---------------------------------------------------------------------------

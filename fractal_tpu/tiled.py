@@ -5,8 +5,12 @@ multi-minute posters a crash costs everything.  Here the image is rendered
 in horizontal bands: each band is an independent kernel launch whose rows
 are addressed through the kernel's exact (stride=1, offset=start_row)
 global-row map, so the banded result is bit-identical to the one-shot
-render.  Completed bands are written to a checkpoint directory as they
-finish; a rerun skips them and assembles the rest.
+render.  (Caveat, CPU f32 tier only: bands always run the params-path
+program — the kernel route — while a one-shot f32 render on CPU rides the
+jnp program, whose trace-time viewport constants round differently; on
+TPU both routes are the params program and match.  ds32 and deeper tiers
+match everywhere.)  Completed bands are written to a checkpoint directory
+as they finish; a rerun skips them and assembles the rest.
 
 Escape-time scenes only (the fern's chaos game is a global scatter — no
 spatial decomposition to band).  Perturbation-depth scenes band too when
@@ -44,13 +48,21 @@ def _band_u8(scene: Scene, start_row: int, rows: int, precision: str,
 
 def render_tiled(scene: Scene, band_rows: int = 512,
                  ckpt_dir: Optional[str] = None,
-                 progress: Optional[Callable[[str], None]] = None) -> np.ndarray:
+                 progress: Optional[Callable[[str], None]] = None,
+                 mesh=None) -> np.ndarray:
     """Render `scene` in row bands with optional checkpoint/resume.
 
     Returns the assembled (height, width, 3) uint8 host image.  With
     `ckpt_dir`, finished bands are persisted as ``band_<i>.npy`` plus a
     manifest; a rerun with the same scene resumes after the last completed
     band.  A manifest whose scene hash differs aborts (stale directory).
+
+    ``mesh``: each band's rows additionally interleave across the device
+    mesh (the band's global start composes with the interleave stride
+    through the exact integer row map) — banded + sharded escape renders
+    stay bit-identical to the one-shot render.  Perturbation-depth bands
+    keep their single-device program (the shared-orbit band path), noted
+    via ``progress``.
     """
     from fractal_tpu.render import resolve_precision
 
@@ -78,9 +90,24 @@ def render_tiled(scene: Scene, band_rows: int = 512,
     if perturb:
         from fractal_tpu.ops.perturb import render_perturb_band
 
+        if mesh is not None and progress:
+            progress("perturbation bands render single-device "
+                     "(shared-orbit band path); --devices applies to "
+                     "escape-tier bands")
+
         def band_u8(start, rows):
             return render_perturb_band(scene, start, rows,
                                        fast=precision == "p32")
+    elif mesh is not None:
+        from fractal_tpu.ops.escape_pallas import scene_params
+        from fractal_tpu.parallel.sharding import _render_band_sharded_jit
+
+        def band_u8(start, rows):
+            dtype = jnp.float64 if precision == "dd64" else jnp.float32
+            params = scene_params(scene, dtype=dtype)
+            params = params.at[15].set(float(start))
+            return _render_band_sharded_jit(scene, params, precision,
+                                            use_pallas, mesh, rows)
     else:
         def band_u8(start, rows):
             return _band_u8(scene, start, rows, precision, use_pallas)

@@ -204,15 +204,17 @@ def test_devices_flag_rejects_non_still_modes():
 
     from fractal_tpu.cli import parse_options
 
-    for extra in (["--bands", "16"], ["-g"]):
-        with pytest.raises(SystemExit):
-            parse_options(["32", "24", "--devices", "2"] + extra)
+    with pytest.raises(SystemExit):
+        parse_options(["32", "24", "--devices", "2", "-g"])
     with pytest.raises(SystemExit):
         parse_options(["32", "24", "--devices", "-2"])
-    # --animate + --devices is supported (frame-parallel sweeps)
+    # --animate + --devices (frame-parallel sweeps) and --bands + --devices
+    # (row-interleaved bands) are supported
     opts = parse_options(["32", "24", "--devices", "2",
                           "--animate", "4", "--sweep", "zoom"])
     assert opts.devices == 2 and opts.animate == 4
+    opts = parse_options(["32", "24", "--devices", "2", "--bands", "16"])
+    assert opts.devices == 2 and opts.bands == 16
 
 
 def test_devices_flag_errors_when_too_few(tmp_path):

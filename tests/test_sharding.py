@@ -405,3 +405,24 @@ def test_zoom_sweep_sharded_matches_unsharded(mesh):
     single = render_zoom_sweep(scene, scales)
     sharded = render_zoom_sweep(scene, scales, mesh=mesh)
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_banded_sharded_matches_one_shot(mesh, tmp_path):
+    """--bands + --devices: each band's rows interleave across the mesh;
+    the band's global start composes with the stride through the exact
+    integer row map, so banded+sharded == one-shot bit-for-bit.  Resume
+    works across mesh sizes (bands are bit-identical either way)."""
+    from fractal_tpu.tiled import render_tiled
+
+    scene = Scene(width=64, height=50, iterations=96,
+                  pos=(-0.7436447860, 0.1318252536), scale=(1e6, 1e6),
+                  precision="ds32")
+    one_shot = np.asarray(render_u8(scene))
+    banded = render_tiled(scene, band_rows=16, mesh=mesh)
+    np.testing.assert_array_equal(banded, one_shot)
+
+    # checkpoint written by a sharded run resumes on a single device
+    ck = str(tmp_path / "ck")
+    render_tiled(scene, band_rows=16, ckpt_dir=ck, mesh=mesh)
+    resumed = render_tiled(scene, band_rows=16, ckpt_dir=ck)
+    np.testing.assert_array_equal(resumed, one_shot)
