@@ -168,11 +168,11 @@ def build_parser() -> argparse.ArgumentParser:
                           "rows per device; fern slices the walker set "
                           "per device and psum-combines the integer "
                           "histograms; --animate sweeps shard the frame "
-                          "axis; --bands escape bands interleave their "
-                          "rows — all bit-identical to single-device "
-                          "(perturbation bands stay single-device). "
+                          "axis; --bands bands interleave their rows; "
+                          "-g viewer frames shard when the tier supports "
+                          "it — all bit-identical to single-device. "
                           "0 = all available devices; default 1 = single "
-                          "device. Not with -g.")
+                          "device.")
     ext.add_argument("--bands", type=int, default=0, metavar="ROWS",
                      help="Render in horizontal bands of ROWS rows "
                           "(checkpoint/resume for huge images; 0 = one shot).")
@@ -256,9 +256,6 @@ def parse_options(argv: Optional[List[str]] = None) -> Options:
                  "(use --sweep zoom for mandelbrot zoom videos)")
     if args.devices < 0:
         sys.exit("error: --devices must be >= 0 (0 = all available)")
-    if args.devices != 1 and args.gui:
-        sys.exit("error: --devices does not apply to the interactive "
-                 "viewer (-g)")
     return Options(
         scene=scene,
         filename=args.output,

@@ -240,7 +240,7 @@ def _perturb_sharded_jit(orbit, P, ns, iterations: int, h: int, w: int,
 
     def local_stripe(orbit, P, ns, *bla):
         d = jax.lax.axis_index(AXIS).astype(jnp.float32)
-        p_local = P.at[6].set(jnp.float32(n)).at[7].set(d)
+        p_local = P.at[6].set(jnp.float32(n)).at[7].set(P[7] + d)
         return perturb_whole_jnp(
             orbit, p_local, ns[0], iterations=iterations,
             height=rows_local, width=w,
@@ -286,7 +286,7 @@ def _perturb_sharded_pallas_jit(planes, P, ns, iterations: int, h: int,
 
     def local_stripe(planes, P, ns):
         d = jax.lax.axis_index(AXIS).astype(jnp.float32)
-        p_local = P.at[6].set(jnp.float32(n)).at[7].set(d)
+        p_local = P.at[6].set(jnp.float32(n)).at[7].set(P[7] + d)
         return perturb_pallas_v2(
             planes, p_local, ns[0], iterations=iterations,
             height=rows_local, width=w, julia=julia, glitch=glitch,
@@ -320,7 +320,7 @@ def _perturb_sharded_fe_jit(planes, P, ns, iterations: int, h: int,
 
     def local_stripe(planes, P, ns):
         d = jax.lax.axis_index(AXIS).astype(jnp.float32)
-        p_local = P.at[6].set(jnp.float32(n)).at[7].set(d)
+        p_local = P.at[6].set(jnp.float32(n)).at[7].set(P[7] + d)
         return perturb_pallas_fe(
             planes, p_local, ns[0], iterations=iterations,
             height=rows_local, width=w, julia=julia, glitch=glitch,
@@ -359,6 +359,25 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None,
     skipped — r2 ran sharded p32 through the exact pipeline, VERDICT weak
     2).  ``use_pallas`` overrides the backend choice (tests force the
     planes kernel through the Pallas interpreter on CPU meshes)."""
+    return _render_perturb_sharded_impl(scene, mesh, fast, use_pallas)
+
+
+def render_perturb_band_sharded(scene: Scene, start_row: int, rows: int,
+                                fast: bool = False,
+                                mesh: Optional[Mesh] = None,
+                                use_pallas: Optional[bool] = None):
+    """Mesh twin of ``ops.perturb.render_perturb_band`` (fractal_tpu.tiled):
+    the band's global start row rides P[7] and composes with the interleave
+    stride (P[6]=N, offset=start+d), all exact integer f32s, so banded +
+    sharded perturbation renders match the single-device bands bit-for-bit
+    (glitches still resolve in GLOBAL pixel coordinates)."""
+    return _render_perturb_sharded_impl(scene, mesh, fast, use_pallas,
+                                        start_row=start_row, rows=rows)
+
+
+def _render_perturb_sharded_impl(scene: Scene, mesh, fast, use_pallas,
+                                 start_row: int = 0,
+                                 rows: Optional[int] = None):
     from fractal_tpu.ops.perturb import (
         RENDER_STATS, _apply_fallback, _is_extreme, _perturb_setup,
         _planes_for,
@@ -367,6 +386,10 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None,
 
     mesh = mesh if mesh is not None else make_mesh()
     h, w, on_accel, ref_px, orbit, P, _, dev = _perturb_setup(scene, fast)
+    band = rows is not None
+    h_out = rows if band else h
+    if band:
+        P = P.at[7].set(jnp.float32(start_row))
     ns = jnp.asarray([orbit.n_steps], jnp.int32)
     forced = use_pallas  # caller's intent: None = auto, True/False = forced
     use_pallas = on_accel if use_pallas is None else use_pallas
@@ -395,7 +418,7 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None,
         planes = _planes_for(scene, orbit, ref_px, w, h, fast)
         RENDER_STATS["route"] = "sharded-fe-kernel"
         zr, zi, cnt, gl = _perturb_sharded_fe_jit(
-            planes, P, ns, scene.iterations, h, w, mesh,
+            planes, P, ns, scene.iterations, h_out, w, mesh,
             julia=scene.algo == "julia", glitch=not fast,
             interpret=jax.default_backend() in ("cpu",),
         )
@@ -404,7 +427,7 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None,
                   else _planes_for(scene, orbit, ref_px, w, h, fast))
         RENDER_STATS["route"] = "sharded-v2-kernel"
         zr, zi, cnt, gl = _perturb_sharded_pallas_jit(
-            planes, P, ns, scene.iterations, h, w, mesh,
+            planes, P, ns, scene.iterations, h_out, w, mesh,
             julia=scene.algo == "julia", glitch=not fast,
             interpret=jax.default_backend() in ("cpu",),
             power=eff_power(scene.algo, scene.power),
@@ -418,14 +441,16 @@ def render_perturb_sharded(scene: Scene, mesh: Optional[Mesh] = None,
             "-fe" if _is_extreme(scene) else "") + (
             "-bla" if bla_packed is not None else "")
         zr, zi, cnt, gl = _perturb_sharded_jit(
-            packed, P, ns, scene.iterations, h, w,
+            packed, P, ns, scene.iterations, h_out, w,
             jax.default_backend() not in ("cpu",), mesh,
             power=eff_power(scene.algo, scene.power),
             algo=scene.algo, extreme=_is_extreme(scene),
             bla_packed=bla_packed, bla_offsets=bla_offsets,
         )
     if not fast:
-        zr, zi, cnt, n_gl = _apply_fallback(scene, zr, zi, cnt, gl, w, h)
+        zr, zi, cnt, n_gl = _apply_fallback(
+            scene, zr, zi, cnt, gl, w, h_out,
+            row0=start_row, full_height=h)
         RENDER_STATS["n_glitch"] = int(n_gl)
     return _color_and_downsample(scene, zr, zi, cnt)
 

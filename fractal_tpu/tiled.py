@@ -59,10 +59,10 @@ def render_tiled(scene: Scene, band_rows: int = 512,
 
     ``mesh``: each band's rows additionally interleave across the device
     mesh (the band's global start composes with the interleave stride
-    through the exact integer row map) — banded + sharded escape renders
-    stay bit-identical to the one-shot render.  Perturbation-depth bands
-    keep their single-device program (the shared-orbit band path), noted
-    via ``progress``.
+    through the exact integer row map) — banded + sharded renders stay
+    bit-identical to their single-device banded counterparts at every
+    tier, including perturbation depth (shared orbit replicated per
+    device, glitches resolved in global coordinates).
     """
     from fractal_tpu.render import resolve_precision
 
@@ -87,13 +87,15 @@ def render_tiled(scene: Scene, band_rows: int = 512,
     n_bands = -(-h // band_rows)
     use_pallas = jax.default_backend() not in ("cpu",)
 
-    if perturb:
-        from fractal_tpu.ops.perturb import render_perturb_band
+    if perturb and mesh is not None:
+        from fractal_tpu.parallel.sharding import render_perturb_band_sharded
 
-        if mesh is not None and progress:
-            progress("perturbation bands render single-device "
-                     "(shared-orbit band path); --devices applies to "
-                     "escape-tier bands")
+        def band_u8(start, rows):
+            return render_perturb_band_sharded(scene, start, rows,
+                                               fast=precision == "p32",
+                                               mesh=mesh)
+    elif perturb:
+        from fractal_tpu.ops.perturb import render_perturb_band
 
         def band_u8(start, rows):
             return render_perturb_band(scene, start, rows,

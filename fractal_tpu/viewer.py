@@ -114,7 +114,7 @@ def apply_nav(scene: Scene, pan=None, zoom=None) -> Scene:
 
 
 class RenderWorker:
-    def __init__(self):
+    def __init__(self, mesh=None):
         self._lock = threading.Condition()
         self._pending: Scene | None = None
         self._working = False
@@ -122,6 +122,7 @@ class RenderWorker:
         self._gen = 0
         self._last_ms = 0.0
         self._stats: dict = {}
+        self._mesh = mesh  # --devices N: frames render across the mesh
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -143,9 +144,30 @@ class RenderWorker:
                 self._lock.wait(timeout=max(0.05, deadline - time.monotonic()))
             return self._gen, self._png, self._last_ms, dict(self._stats)
 
-    def _loop(self):
+    def _render(self, scene: Scene) -> np.ndarray:
+        """One frame, across the mesh when set and the resolved tier has a
+        sharded program (f32/ds32/perturb/p32 escape renders and the fern —
+        all bit-identical to single-device); other tiers (f64/dd64, CPU
+        ladder only) keep the single-device program."""
         from fractal_tpu.render import render
 
+        if self._mesh is not None:
+            import jax
+
+            from fractal_tpu.parallel.sharding import (
+                render_escape_sharded, render_fern_sharded,
+            )
+            from fractal_tpu.render import resolve_precision
+
+            if scene.algo == "fern":
+                return np.asarray(jax.device_get(
+                    render_fern_sharded(scene, self._mesh)))
+            if resolve_precision(scene) in ("f32", "ds32", "perturb", "p32"):
+                return np.asarray(jax.device_get(
+                    render_escape_sharded(scene, self._mesh)))
+        return np.asarray(render(scene))  # host fetch = device fence
+
+    def _loop(self):
         while True:
             with self._lock:
                 while self._pending is None:
@@ -155,12 +177,14 @@ class RenderWorker:
                 self._working = True
             t0 = time.perf_counter()
             try:
-                img = np.asarray(render(scene))  # host fetch = device fence
+                img = self._render(scene)
                 dev_ms = (time.perf_counter() - t0) * 1e3
                 png = _encode_png(img)
                 ms = (time.perf_counter() - t0) * 1e3
                 stats = _render_stats(scene)
                 stats["device_ms"] = round(dev_ms, 1)
+                if self._mesh is not None:
+                    stats["devices"] = int(self._mesh.devices.size)
                 with self._lock:
                     self._png = png
                     self._gen += 1
@@ -252,6 +276,7 @@ def _make_handler(worker: RenderWorker, state: dict):
                             ("X-Device-Ms", str(stats.get("device_ms", ""))),
                             ("X-Tier", str(stats.get("tier", ""))),
                             ("X-Route", str(stats.get("route", ""))),
+                            ("X-Devices", str(stats.get("devices", ""))),
                             ("X-Glitch", str(stats.get("glitch", ""))),
                             ("X-Residual", str(stats.get("residual", ""))),
                             ("Cache-Control", "no-store")])
@@ -336,7 +361,12 @@ def start(options, port: int = 8750, open_browser: bool = True,
     scene = options.scene
     # GUI-sized default canvas: the reference viewer renders at window size;
     # keep the CLI dims.
-    worker = RenderWorker()
+    mesh = None
+    if getattr(options, "devices", 1) != 1:
+        from fractal_tpu.__main__ import _mesh_for
+
+        mesh = _mesh_for(options)
+    worker = RenderWorker(mesh=mesh)
     state = {"scene": scene, "filename": options.filename, "fmt": options.fmt}
     worker.request(scene)
     server = ThreadingHTTPServer(("127.0.0.1", port), _make_handler(worker, state))
@@ -453,8 +483,10 @@ async function poll() {
           const route = r.headers.get('X-Route') || '';
           const dms = r.headers.get('X-Device-Ms') || '';
           const gl = r.headers.get('X-Glitch'), res = r.headers.get('X-Residual');
+          const ndev = r.headers.get('X-Devices') || '';
           let st = 'render ' + ms + ' ms (gen ' + g + ')';
           if (dms) st += ' · device ' + dms + ' ms';
+          if (ndev) st += ' · ' + ndev + ' devices';
           if (tier) st += ' · ' + tier;
           if (route) st += ' [' + route + ']';
           if (gl !== '' && gl !== null)

@@ -250,3 +250,33 @@ def test_status_headers_tier_and_glitch(server):
             break
         time.sleep(0.5)
     assert h["X-Tier"] == "f32" and h["X-Glitch"] == ""
+
+
+def test_viewer_renders_across_mesh():
+    """-g + --devices: viewer frames render across the mesh when the tier
+    has a sharded program — bit-identical to the single-device render
+    (same PNG bytes) — and the X-Devices header feeds the status line."""
+    import numpy as np
+
+    opts = parse_options(["64", "48", "--devices", "2", "--precision",
+                          "ds32", "-o", "/tmp/viewer_mesh_shot",
+                          "--format", "png"])
+    srv = start(opts, port=8792, open_browser=False, block=False)
+    try:
+        base = "http://127.0.0.1:8792"
+        png = b""
+        h = {}
+        for _ in range(120):
+            h, png = _get(base, "/image")
+            if int(h.get("X-Gen", 0)) >= 1 and png[:4] == b"\x89PNG":
+                break
+            time.sleep(0.5)
+        assert png[:4] == b"\x89PNG"
+        assert h["X-Devices"] == "2"
+
+        from fractal_tpu.render import render
+        from fractal_tpu.viewer import _encode_png
+
+        assert png == _encode_png(np.asarray(render(opts.scene)))
+    finally:
+        srv.shutdown()
