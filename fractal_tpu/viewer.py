@@ -145,27 +145,7 @@ class RenderWorker:
             return self._gen, self._png, self._last_ms, dict(self._stats)
 
     def _render(self, scene: Scene) -> np.ndarray:
-        """One frame, across the mesh when set and the resolved tier has a
-        sharded program (f32/ds32/perturb/p32 escape renders and the fern —
-        all bit-identical to single-device); other tiers (f64/dd64, CPU
-        ladder only) keep the single-device program."""
-        from fractal_tpu.render import render
-
-        if self._mesh is not None:
-            import jax
-
-            from fractal_tpu.parallel.sharding import (
-                render_escape_sharded, render_fern_sharded,
-            )
-            from fractal_tpu.render import resolve_precision
-
-            if scene.algo == "fern":
-                return np.asarray(jax.device_get(
-                    render_fern_sharded(scene, self._mesh)))
-            if resolve_precision(scene) in ("f32", "ds32", "perturb", "p32"):
-                return np.asarray(jax.device_get(
-                    render_escape_sharded(scene, self._mesh)))
-        return np.asarray(render(scene))  # host fetch = device fence
+        return _render_frame(scene, self._mesh)
 
     def _loop(self):
         while True:
@@ -197,6 +177,29 @@ class RenderWorker:
                 with self._lock:
                     self._working = False
                     self._lock.notify_all()
+
+
+def _render_frame(scene: Scene, mesh=None) -> np.ndarray:
+    """One frame, across the mesh when set and the resolved tier has a
+    sharded program (f32/ds32/perturb/p32 escape renders and the fern —
+    all bit-identical to single-device); other tiers (f64/dd64, CPU
+    ladder only) keep the single-device program."""
+    from fractal_tpu.render import render
+
+    if mesh is not None:
+        import jax
+
+        from fractal_tpu.parallel.sharding import (
+            render_escape_sharded, render_fern_sharded,
+        )
+        from fractal_tpu.render import resolve_precision
+
+        if scene.algo == "fern":
+            return np.asarray(jax.device_get(render_fern_sharded(scene, mesh)))
+        if resolve_precision(scene) in ("f32", "ds32", "perturb", "p32"):
+            return np.asarray(jax.device_get(
+                render_escape_sharded(scene, mesh)))
+    return np.asarray(render(scene))  # host fetch = device fence
 
 
 def _render_stats(scene: Scene) -> dict:
@@ -232,14 +235,14 @@ def _encode_png(img: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
-def _screenshot(scene: Scene, filename: str, fmt: str):
-    """2× resolution screenshot on a side thread (gui.rs:319-328)."""
+def _screenshot(scene: Scene, filename: str, fmt: str, mesh=None):
+    """2× resolution screenshot on a side thread (gui.rs:319-328) — rides
+    the mesh like the live frames (a 2× still gains the most from it)."""
     def run():
         from fractal_tpu.io import write_image
-        from fractal_tpu.render import render
 
         big = scene.replace(width=scene.width * 2, height=scene.height * 2)
-        write_image(render(big), filename, fmt)
+        write_image(_render_frame(big, mesh), filename, fmt)
 
     threading.Thread(target=run, daemon=True).start()
 
@@ -347,7 +350,8 @@ def _make_handler(worker: RenderWorker, state: dict):
                 worker.request(scene)
                 self._send(200, json.dumps(scene_to_dict(scene)).encode())
             elif self.path == "/screenshot":
-                _screenshot(state["scene"], state["filename"], state["fmt"])
+                _screenshot(state["scene"], state["filename"], state["fmt"],
+                            mesh=worker._mesh)
                 self._send(200, b"{}")
             else:
                 self._send(404, b"{}")

@@ -455,3 +455,19 @@ def test_banded_sharded_perturb_matches_single_device_bands(mesh):
                                    mesh=mesh)
         banded_single = render_tiled(scene, band_rows=8, ckpt_dir=ck_s)
     np.testing.assert_array_equal(banded_mesh, banded_single)
+
+
+def test_zoom_sweep_sharded_extreme_fe_program(mesh):
+    """Extreme-depth sweeps (>= ~1e30x, batched floatexp program) shard the
+    frame axis too: the packed orbit and fe params replicate, 3 frames on 8
+    devices exercise padding — bit-identical to the unsharded fe sweep."""
+    from fractal_tpu.animate import render_zoom_sweep
+
+    scene = Scene(width=24, height=16, iterations=300,
+                  pos_str=("-1.99999999999999999999999999999999999999999"
+                           "9991", "0.0"),
+                  scale=(1e44, 1e44))
+    scales = [1e38, 1e41, 1e44]
+    single = render_zoom_sweep(scene, scales)
+    sharded = render_zoom_sweep(scene, scales, mesh=mesh)
+    np.testing.assert_array_equal(sharded, single)
