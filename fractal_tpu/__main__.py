@@ -23,17 +23,9 @@ from fractal_tpu.utils.timing import Phases  # noqa: E402
 
 def _mesh_for(options):
     """The --devices N mesh (None for the default single-device path)."""
-    if options.devices == 1:
-        return None
-    import jax
+    from fractal_tpu.parallel.sharding import mesh_for_devices
 
-    from fractal_tpu.parallel.sharding import make_mesh
-
-    avail = len(jax.devices())
-    n = avail if options.devices == 0 else options.devices
-    if n > avail:
-        raise ValueError(f"--devices {n}: only {avail} device(s) available")
-    return make_mesh(n)
+    return mesh_for_devices(options.devices)
 
 
 def main(argv=None) -> int:

@@ -52,6 +52,19 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devs), (AXIS,))
 
 
+def mesh_for_devices(devices: int) -> Optional[Mesh]:
+    """The ``--devices N`` mesh: None for 1 (the default single-device
+    path), all available devices for 0, a clear error past the device
+    count.  Shared by every frontend surface (__main__, viewer)."""
+    if devices == 1:
+        return None
+    avail = len(jax.devices())
+    n = avail if devices == 0 else devices
+    if n > avail:
+        raise ValueError(f"--devices {n}: only {avail} device(s) available")
+    return make_mesh(n)
+
+
 def _pad_rows(h: int, n: int) -> int:
     return -(-h // n) * n
 
@@ -61,63 +74,13 @@ def _pad_rows(h: int, n: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit, static_argnames=("precision", "use_pallas", "mesh")
-)
 def _render_escape_sharded_jit(scene: Scene, params, precision: str,
                                use_pallas: bool, mesh: Mesh):
-    n = mesh.shape[AXIS]
-    ss = scene.supersample
-    h, w = scene.height * ss, scene.width * ss
-    hp = _pad_rows(h, n)
-    rows_local = hp // n
-
-    def local_stripe(params):
-        # Device d owns global rows {r·n + d}.  The kernel maps local row r
-        # to global row r·stride + offset via params[14:16] — integer f32s,
-        # exact, so the sharded render is bit-identical to single-device at
-        # every precision (no affine re-rounding).
-        d = jax.lax.axis_index(AXIS).astype(jnp.float32)
-        p_local = params.at[14].set(jnp.float32(n)).at[15].set(d)
-        zr, zi, cnt = iterate_params(
-            p_local,
-            algo=scene.algo,
-            power=scene.power,
-            iterations=scene.iterations,
-            precision=precision,
-            height=rows_local,
-            width=w,
-            interpret=not use_pallas,
-            periodicity=not scene.inside,
-        )
-        img = coloring.color_escape_result(
-            zr, zi, cnt,
-            iterations=scene.iterations,
-            stable_limit=scene.stable_limit,
-            exposure=scene.exposure,
-            primary_color=scene.primary_color.as_tuple(),
-            secondary_color=scene.secondary_color.as_tuple(),
-            inside=scene.inside,
-            smooth=scene.smooth,
-            as_float=True,
-        )
-        return img
-
-    stripes = shard_map(
-        local_stripe,
-        mesh=mesh,
-        in_specs=P(),
-        out_specs=P(AXIS),
-        check_vma=False,
-    )(params)
-    # De-interleave: output blocks are stacked per device (device-major);
-    # global row r·n + d lives at block[d, r] ⇒ (n, rows, W, 3) → transpose.
-    img = (
-        stripes.reshape(n, rows_local, w, 3)
-        .transpose(1, 0, 2, 3)
-        .reshape(hp, w, 3)[:h]
-    )
-    return coloring.downsample_box(img, ss)
+    """The whole image IS the h-row band at offset 0 (scene_params'
+    identity (1, 0) row map): one code path for stills and bands."""
+    return _render_band_sharded_jit(scene, params, precision, use_pallas,
+                                    mesh,
+                                    rows=scene.height * scene.supersample)
 
 
 def render_escape_sharded(scene: Scene, mesh: Optional[Mesh] = None,

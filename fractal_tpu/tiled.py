@@ -74,11 +74,17 @@ def render_tiled(scene: Scene, band_rows: int = 512,
     if perturb and ckpt_dir is None:
         # Without persistence the one-shot program is strictly better (it
         # already bands internally for spatial early exit, with no per-band
-        # dispatch/fetch): --bands alone falls through to it, loudly.
-        from fractal_tpu.render import render_u8
-
+        # dispatch/fetch): --bands alone falls through to it, loudly —
+        # keeping a requested mesh (it must not silently drop to 1 device).
         if progress:
             progress("perturbation path: internal banding, --bands ignored")
+        if mesh is not None:
+            from fractal_tpu.parallel.sharding import render_perturb_sharded
+
+            return np.asarray(jax.device_get(render_perturb_sharded(
+                scene, mesh, fast=precision == "p32")))
+        from fractal_tpu.render import render_u8
+
         return np.asarray(jax.device_get(render_u8(scene)))
 
     ss = scene.supersample

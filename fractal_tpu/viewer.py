@@ -163,7 +163,10 @@ class RenderWorker:
                 ms = (time.perf_counter() - t0) * 1e3
                 stats = _render_stats(scene)
                 stats["device_ms"] = round(dev_ms, 1)
-                if self._mesh is not None:
+                # only when the frame actually rendered across the mesh —
+                # tiers without a sharded program fall back to one device
+                # and must not report otherwise
+                if _mesh_route(scene, self._mesh):
                     stats["devices"] = int(self._mesh.devices.size)
                 with self._lock:
                     self._png = png
@@ -179,26 +182,34 @@ class RenderWorker:
                     self._lock.notify_all()
 
 
+def _mesh_route(scene: Scene, mesh) -> bool:
+    """True when this scene's resolved tier has a sharded program — the
+    fern and the f32/ds32/perturb/p32 escape tiers (all bit-identical to
+    single-device); f64/dd64 (CPU ladder only) have none."""
+    if mesh is None:
+        return False
+    if scene.algo == "fern":
+        return True
+    from fractal_tpu.render import resolve_precision
+
+    return resolve_precision(scene) in ("f32", "ds32", "perturb", "p32")
+
+
 def _render_frame(scene: Scene, mesh=None) -> np.ndarray:
-    """One frame, across the mesh when set and the resolved tier has a
-    sharded program (f32/ds32/perturb/p32 escape renders and the fern —
-    all bit-identical to single-device); other tiers (f64/dd64, CPU
-    ladder only) keep the single-device program."""
+    """One frame, across the mesh when ``_mesh_route`` says the tier
+    supports it; otherwise the single-device program."""
     from fractal_tpu.render import render
 
-    if mesh is not None:
+    if _mesh_route(scene, mesh):
         import jax
 
         from fractal_tpu.parallel.sharding import (
             render_escape_sharded, render_fern_sharded,
         )
-        from fractal_tpu.render import resolve_precision
 
-        if scene.algo == "fern":
-            return np.asarray(jax.device_get(render_fern_sharded(scene, mesh)))
-        if resolve_precision(scene) in ("f32", "ds32", "perturb", "p32"):
-            return np.asarray(jax.device_get(
-                render_escape_sharded(scene, mesh)))
+        r = (render_fern_sharded if scene.algo == "fern"
+             else render_escape_sharded)
+        return np.asarray(jax.device_get(r(scene, mesh)))
     return np.asarray(render(scene))  # host fetch = device fence
 
 
@@ -365,11 +376,9 @@ def start(options, port: int = 8750, open_browser: bool = True,
     scene = options.scene
     # GUI-sized default canvas: the reference viewer renders at window size;
     # keep the CLI dims.
-    mesh = None
-    if getattr(options, "devices", 1) != 1:
-        from fractal_tpu.__main__ import _mesh_for
+    from fractal_tpu.parallel.sharding import mesh_for_devices
 
-        mesh = _mesh_for(options)
+    mesh = mesh_for_devices(getattr(options, "devices", 1))
     worker = RenderWorker(mesh=mesh)
     state = {"scene": scene, "filename": options.filename, "fmt": options.fmt}
     worker.request(scene)

@@ -199,22 +199,22 @@ def test_devices_flag_sharded_still_bit_identical(tmp_path):
     assert tuple(imf[0, 0]) == (240, 240, 240)  # background survives psum
 
 
-def test_devices_flag_rejects_non_still_modes():
+def test_devices_flag_validation_and_mode_composition():
     import pytest
 
     from fractal_tpu.cli import parse_options
 
     with pytest.raises(SystemExit):
-        parse_options(["32", "24", "--devices", "2", "-g"])
-    with pytest.raises(SystemExit):
         parse_options(["32", "24", "--devices", "-2"])
-    # --animate + --devices (frame-parallel sweeps) and --bands + --devices
-    # (row-interleaved bands) are supported
+    # --devices composes with every mode since r4: stills, --animate
+    # (frame-parallel sweeps), --bands (row-interleaved bands), -g (viewer)
     opts = parse_options(["32", "24", "--devices", "2",
                           "--animate", "4", "--sweep", "zoom"])
     assert opts.devices == 2 and opts.animate == 4
     opts = parse_options(["32", "24", "--devices", "2", "--bands", "16"])
     assert opts.devices == 2 and opts.bands == 16
+    opts = parse_options(["32", "24", "--devices", "2", "-g"])
+    assert opts.devices == 2 and opts.gui
 
 
 def test_devices_flag_errors_when_too_few(tmp_path):

@@ -471,3 +471,17 @@ def test_zoom_sweep_sharded_extreme_fe_program(mesh):
     single = render_zoom_sweep(scene, scales)
     sharded = render_zoom_sweep(scene, scales, mesh=mesh)
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_tiled_perturb_no_ckpt_keeps_mesh(mesh):
+    """--bands + --devices at perturbation depth WITHOUT a checkpoint dir
+    falls through to the one-shot program but must keep the requested
+    mesh (it used to silently drop to one device)."""
+    from fractal_tpu.tiled import render_tiled
+
+    scene = Scene(width=32, height=24, iterations=100,
+                  pos=(-0.74364388703715871, 0.13182590420531198),
+                  scale=(1e15, 1e15), precision="perturb")
+    single = np.asarray(render_u8(scene))
+    out = render_tiled(scene, band_rows=8, mesh=mesh)
+    np.testing.assert_array_equal(out, single)
