@@ -13,6 +13,10 @@ Run from the repo root on a live TPU:
 Reference semantics: the |re|,|im| fold at
 /root/reference/calc/src/lib.rs:150-179.
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

@@ -9,6 +9,7 @@
 # tool's instructions.
 set -u
 cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 mkdir -p /tmp/hwq
 echo "== hw_queue $(date -u +%FT%TZ) =="
 

@@ -26,16 +26,16 @@ module; a winning variant gets productionized with tests afterwards.
 
 Run on a live TPU:  python tools/lean_probe.py
 """
-
 from __future__ import annotations
 
 import functools
 import json
+import os as _os
 import statistics
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

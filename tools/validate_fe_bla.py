@@ -10,6 +10,10 @@ Runs on the real TPU: builds the minibrot 1e40 view once, then times
 (c) the per-tile BLA kernel — cold compile + warm p50 — and checks
 cnt/gl bit-equality of (c) against (a)'s plain-oracle contract.
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax
