@@ -65,8 +65,35 @@ def color_escape_result(
     ``as_float=True`` returns the pre-cast float image (used by the
     supersampling downsample path, which averages before the u8 cast).
     """
-    dtype = jnp.result_type(zr)
-    dist = zr * zr + zi * zi
+    return color_escape_result_dist(
+        zr * zr + zi * zi, cnt, iterations=iterations,
+        stable_limit=stable_limit, exposure=exposure,
+        primary_color=primary_color, secondary_color=secondary_color,
+        inside=inside, smooth=smooth, as_float=as_float)
+
+
+def color_escape_result_dist(
+    dist,
+    cnt,
+    *,
+    iterations: int,
+    stable_limit,
+    exposure,
+    primary_color,
+    secondary_color,
+    inside: bool,
+    smooth: bool,
+    as_float: bool = False,
+):
+    """``color_escape_result`` from the squared final distance directly.
+
+    The reference's classify/color tail (calc/src/lib.rs:214-234) consumes
+    only |z|² — dist-emitting kernels (the p32 fast tier's ``dist_only``
+    δ-orbit kernel) skip materializing zr/zi entirely and color through
+    this entry; passing ``dist == zr²+zi²`` here is bit-identical to
+    ``color_escape_result(zr, zi, ...)``.
+    """
+    dtype = jnp.result_type(dist)
     escaped = dist > jnp.asarray(stable_limit, dtype)
 
     iters_f = smooth_iters(cnt, dist, smooth)

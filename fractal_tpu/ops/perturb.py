@@ -1065,16 +1065,6 @@ def _series_init(P, dcr, dci):
     return dzr, dzi, P[8].astype(jnp.int32)
 
 
-def _fe_bla_kernel_on() -> bool:
-    """Route BLA-useful extreme views through the per-tile macro-skip
-    Pallas kernel instead of the whole-image BLA twin.  Opt-in
-    (``FRACTAL_TPU_FE_BLA_KERNEL=1``) until its Mosaic compile time is
-    validated on hardware (the tunnel was down when it landed); the twin
-    default is the measured-good 43.3 ms path.  Read at call time so
-    tests can monkeypatch the environment; on CPU the kernel runs in
-    interpret mode, which is what makes the routing testable at all."""
-    return bool(os.environ.get("FRACTAL_TPU_FE_BLA_KERNEL"))
-
 BLA_MIN_LEVEL = 6  # smallest stored skip = 64 = PERT_CHUNK, so skips always
 #                    beat plain chunks and stay chunk-aligned
 
@@ -1164,7 +1154,8 @@ def orbit_planes(orbit: RefOrbit):
 def _build_pert_kernel_v2(iterations: int, tile_h: int, tile_w: int,
                           chunk: int, julia: bool, glitch: bool,
                           points: bool = False, power: int = 2,
-                          algo: str = "mandelbrot", stream: bool = False):
+                          algo: str = "mandelbrot", stream: bool = False,
+                          dist_only: bool = False):
     """δ-orbit Pallas kernel, VPU-peak design (~22 element-ops/step).
 
     Re-design of the scalar-broadcast kernel (VERDICT r1 item 4):
@@ -1196,7 +1187,17 @@ def _build_pert_kernel_v2(iterations: int, tile_h: int, tile_w: int,
     kernel speed instead of falling back to the XLA twin.  The arithmetic
     is untouched (same block values), so stream/resident stay
     bit-identical.
+
+    ``dist_only=True`` (p32 fast tier, glitch=False only): the coloring
+    epilogue consumes only the frozen |z|² (the smooth term and inside
+    shading are functions of dist alone — ops/coloring.py), so the zfr/zfi
+    freeze selects and outputs are dropped and the kernel emits just
+    (d, cnt).  d is the SAME frozen zfr²+zfi² value the full kernel's
+    consumers recompute, so colors are bit-identical; measured on v5e
+    (tools/lean_probe.py 'dout'): 1.12× over the select-carrying twin.
     """
+    assert not (dist_only and (glitch or points)), \
+        "dist_only is the p32 fast-tier form (no glitch pipeline)"
     n_chunks = _cdiv(max(iterations, 1), chunk)
 
     def kernel(ns_ref, p_ref, zr2_ref, zi2_ref, gt_ref, *rest):
@@ -1206,6 +1207,8 @@ def _build_pert_kernel_v2(iterations: int, tile_h: int, tile_w: int,
             # arbitrary-pixel mode (glitch fallback): δc arrives as blocked
             # VMEM inputs instead of being derived from the tile's iota
             dcr_ref, dci_ref, zr_ref, zi_ref, cnt_ref, gl_ref = rest
+        elif dist_only:
+            d_ref, cnt_ref = rest
         else:
             zr_ref, zi_ref, cnt_ref, gl_ref = rest
         f32 = jnp.float32
@@ -1387,8 +1390,12 @@ def _build_pert_kernel_v2(iterations: int, tile_h: int, tile_w: int,
                     # to +inf so the pixel freezes (epilogue recovers the
                     # flag from d == inf and un-counts the glitch step).
                     nd = jnp.where(nd < bg[i:i + 1, :], inf, nd)
-                zfr = jnp.where(live, nzfr, zfr)
-                zfi = jnp.where(live, nzfi, zfi)
+                if not dist_only:
+                    # dist_only carries zfr/zfi as None (empty pytree
+                    # slots): the frozen d alone feeds the epilogue, so
+                    # these two selects vanish from the step body.
+                    zfr = jnp.where(live, nzfr, zfr)
+                    zfi = jnp.where(live, nzfi, zfi)
                 d = jnp.where(live, nd, d)
                 cnt = cnt + live
                 state = (ndzr, ndzi, zfr, zfi, d, cnt)
@@ -1399,9 +1406,11 @@ def _build_pert_kernel_v2(iterations: int, tile_h: int, tile_w: int,
             n = k * chunk
             return (k < n_chunks) & (n < n_steps) & jnp.any(d <= limit_sq)
 
+        zf_init = (None, None) if dist_only else (zfr0, zfi0)
         (dzr, dzi, zfr, zfi, d, cnt), k_end = jax.lax.while_loop(
             chunk_cond, chunk_body,
-            ((dz0r, dz0i, zfr0, zfi0, d0, cnt0), n0 // jnp.int32(chunk)),
+            ((dz0r, dz0i, zf_init[0], zf_init[1], d0, cnt0),
+             n0 // jnp.int32(chunk)),
         )
         if stream:
             # drain: exactly one fetch is outstanding — chunk k_end (the
@@ -1411,9 +1420,13 @@ def _build_pert_kernel_v2(iterations: int, tile_h: int, tile_w: int,
                 dma.wait()
         # Epilogue: un-count the terminal (escape/glitch) step; flag
         # glitches (poisoned d) and orbit exhaustion for the fallback.
-        glitched = d == inf
         escaped = d > limit_sq
         cnt = jnp.maximum(cnt - escaped, 0)
+        if dist_only:
+            d_ref[:] = d
+            cnt_ref[:] = cnt
+            return
+        glitched = d == inf
         ran_out = (~escaped) & (cnt >= n_steps) & (n_steps < iterations)
         zr_ref[:] = zfr
         zi_ref[:] = zfi
@@ -1426,14 +1439,15 @@ def _build_pert_kernel_v2(iterations: int, tile_h: int, tile_w: int,
 @functools.partial(
     jax.jit, static_argnames=("iterations", "height", "width", "julia",
                               "glitch", "tile_h", "tile_w", "chunk",
-                              "interpret", "power", "algo", "stream")
+                              "interpret", "power", "algo", "stream",
+                              "dist_only")
 )
 def perturb_pallas_v2(planes, P, n_steps, *, iterations: int, height: int,
                       width: int, julia: bool = False, glitch: bool = True,
                       tile_h: int = TILE_H, tile_w: int = TILE_W,
                       chunk: int = PERT_CHUNK, interpret: bool = False,
                       power: int = 2, algo: str = "mandelbrot",
-                      stream: bool = None):
+                      stream: bool = None, dist_only: bool = False):
     """Production TPU δ-orbit kernel (see ``_build_pert_kernel_v2``).
 
     Measured on v5e (3000²@1e6×, 4000 iters): 159 ms ≈ 170 G iters/s —
@@ -1453,7 +1467,7 @@ def perturb_pallas_v2(planes, P, n_steps, *, iterations: int, height: int,
         stream = planes[0].shape[0] > PLANES_ROWS_MAX
     kernel = _build_pert_kernel_v2(iterations, tile_h, tile_w, chunk,
                                    julia, glitch, power=power, algo=algo,
-                                   stream=stream)
+                                   stream=stream, dist_only=dist_only)
     n_steps = jnp.asarray(n_steps, jnp.int32).reshape(1)  # SMEM wants (1,)
     grid = (_cdiv(height, tile_h), _cdiv(width, tile_w))
     outf = jax.ShapeDtypeStruct((height, width), jnp.float32)
@@ -1470,6 +1484,10 @@ def perturb_pallas_v2(planes, P, n_steps, *, iterations: int, height: int,
             pltpu.VMEM((2, chunk + 1, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         )
+    if dist_only:
+        out_shape = (outf, outi)  # (frozen |z|², cnt) — p32 fast tier
+    else:
+        out_shape = (outf, outf, outi, outi)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -1480,11 +1498,11 @@ def perturb_pallas_v2(planes, P, n_steps, *, iterations: int, height: int,
             pl.BlockSpec(memory_space=plane_space),
             pl.BlockSpec(memory_space=plane_space),
         ],
-        out_specs=(block(), block(), block(), block()),
-        out_shape=(outf, outf, outi, outi),
+        out_specs=tuple(block() for _ in out_shape),
+        out_shape=out_shape,
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
-            flops=22 * iterations * height * width,
+            flops=(20 if dist_only else 22) * iterations * height * width,
             bytes_accessed=height * width * 16 + iterations * 12 * 128,
             transcendentals=0,
         ),
@@ -1808,266 +1826,6 @@ def perturb_pallas_fe(planes, P, n_steps, *, iterations: int, height: int,
         ),
         interpret=interpret,
     )(n_steps, P, *planes)
-
-
-def _build_pert_kernel_fe_bla(iterations: int, tile_h: int, tile_w: int,
-                              chunk: int, julia: bool, glitch: bool,
-                              bla_offsets, bla_min_level: int,
-                              skip_scans: int = 1):
-    """Extreme-depth fe kernel with BLA macro-skips and a per-TILE
-    validity max (r3).  The XLA BLA twin (``_perturb_tile_bla_fe``) gates
-    every skip on the WHOLE image's max |δz|² — one boundary pixel
-    blocks every contracting region.  Tiles are independent grid programs
-    here, so each (tile_h, tile_w) tile skips as deep as ITS OWN max
-    |δz|² allows: strictly more skips than the twin, same per-entry
-    radius criterion, same validity argument (no escape/glitch inside a
-    valid skip — ops/bla.py).  Because the skip PATTERN differs from the
-    twin's, the correctness oracle is the plain (BLA-off) computation,
-    exactly like the twin's own contract (tests/test_bla.py).
-
-    Count/activity semantics mirror the twin (live ⇔ cnt == n, explicit
-    glitch flag) rather than the lock-step kernel's d-poison freeze:
-    per-tile n jumps leave no global step index to poison against.
-
-    The table rides in SMEM ((rows, 8) f32, ``build_table_fe`` layout:
-    A_re A_im A_e B_re B_im B_e r²_m r²_e) — the level scan is ~2 scalar
-    loads per level plus 6 for the chosen entry, amortized over
-    tile_h·tile_w pixels × skipped steps.  Resident planes only (the
-    budgets where BLA fires sit far below PLANES_ROWS_MAX; streaming's
-    sequential prefetch contradicts skip jumps)."""
-    from fractal_tpu.ops import floatexp as fx
-
-    # Unlike the twin's SKIP_SCANS=4 greedy ruler descent, the kernel
-    # defaults to ONE scan per macro body: a level-k skip keeps n
-    # 2^k-aligned, so consecutive bodies chain same-or-lower-level skips
-    # without a crawl, and Mosaic compile time is super-linear in the
-    # unrolled body size (4 scans + 8 fe steps exceeded 25 min; see
-    # PERF.md's chunk-16 note for the same wall).
-    SKIP_SCANS = skip_scans
-    n_levels = len(bla_offsets)
-
-    def kernel(ns_ref, p_ref, zr2_ref, zi2_ref, gt_ref, bla_ref,
-               zr_ref, zi_ref, cnt_ref, gl_ref):
-        f32 = jnp.float32
-        P = [p_ref[i] for i in range(16)]
-        n_steps = ns_ref[0]
-        limit_sq = P[4]
-        ti = pl.program_id(0)
-        tj = pl.program_id(1)
-        y0 = ti * tile_h
-        x0 = tj * tile_w
-        yy = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-              + y0).astype(f32)
-        xx = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-              + x0).astype(f32)
-        yy = yy * P[6] + P[7]  # global-row map (sharded stripes)
-        shape = xx.shape
-        Ar = (P[0] * jnp.ones(shape, f32),
-              jnp.full(shape, P[8], f32).astype(jnp.int32))
-        Ai = (P[1] * jnp.ones(shape, f32),
-              jnp.full(shape, P[9], f32).astype(jnp.int32))
-        dcr = fx.mul(fx.fe(xx - P[2]), Ar)
-        dci = fx.mul(fx.fe(yy - P[3]), Ai)
-        gain = P[5]
-        dcr_g = (dcr[0] * gain, jnp.where(gain == 0.0, fx.E_ZERO, dcr[1]))
-        dci_g = (dci[0] * gain, jnp.where(gain == 0.0, fx.E_ZERO, dci[1]))
-        rows = zr2_ref.shape[0]
-
-        zfr0 = 0.5 * zr2_ref[pl.ds(0, 1), :] + fx.to_float(dcr)
-        zfi0 = 0.5 * zi2_ref[pl.ds(0, 1), :] + fx.to_float(dci)
-        cnt0 = jnp.zeros(shape, jnp.int32)
-        gl0 = jnp.zeros(shape, jnp.int32)
-
-        def _active(zfr, zfi, cnt, gl, n):
-            return ((zfr * zfr + zfi * zfi <= limit_sq) & (cnt == n)
-                    & (gl == 0))
-
-        INT_MIN = jnp.int32(-(1 << 30))
-
-        def try_skip(dzrm, dzre, dzim, dzie, zfr, zfi, cnt, gl, n):
-            """Largest valid aligned skip at n, gated on THIS tile's max
-            |δz|² (the twin gates on the whole image's)."""
-            live = _active(zfr, zfi, cnt, gl, n) & (n < n_steps)
-            dzr = (dzrm, dzre)
-            dzi = (dzim, dzie)
-            m2 = fx.add(fx.mul(dzr, dzr), fx.mul(dzi, dzi))
-            has = live & (m2[0] > 0.0)
-            maxe = jnp.max(jnp.where(has, m2[1], INT_MIN))
-            maxm = jnp.max(jnp.where(has & (m2[1] == maxe), m2[0], 0.0))
-            skip = jnp.int32(0)
-            chosen = jnp.int32(0)
-            n_rows = bla_ref.shape[0]
-            for lev in range(n_levels - 1, -1, -1):
-                k = lev + bla_min_level
-                step = 1 << k
-                # clamp to the level's last row: at a non-power-of-two
-                # budget the top level's (n >> k) overshoots its single
-                # row once n passes it — the value is gate-discarded, but
-                # an unclamped dynamic SMEM load is UB on hardware (the
-                # twin gets this clamp for free from dynamic_slice)
-                last = (bla_offsets[lev + 1] if lev + 1 < n_levels
-                        else n_rows) - 1
-                idx = jnp.minimum(jnp.int32(bla_offsets[lev]) + (n >> k),
-                                  jnp.int32(last))
-                r2m = bla_ref[idx, 6]
-                r2e = bla_ref[idx, 7].astype(jnp.int32)
-                ok = (
-                    (skip == 0)
-                    & ((n & (step - 1)) == 0)
-                    & (n + step <= n_steps)
-                    & (r2m > 0.0)
-                    & ((maxe < r2e) | ((maxe == r2e) & (maxm < r2m)))
-                )
-                chosen = jnp.where(ok, idx, chosen)
-                skip = jnp.where(ok, jnp.int32(step), skip)
-            if _BLA_FE_DEBUG:
-                jax.debug.print("tile({a},{b}) n={n} skip={s}",
-                                a=ti, b=tj, n=n, s=skip)
-            sArm = bla_ref[chosen, 0]
-            sAim = bla_ref[chosen, 1]
-            sAe = bla_ref[chosen, 2].astype(jnp.int32)
-            sBrm = bla_ref[chosen, 3]
-            sBim = bla_ref[chosen, 4]
-            sBe = bla_ref[chosen, 5].astype(jnp.int32)
-            upd = live & (skip > 0)
-            Apair_r = (sArm * jnp.ones(shape, f32),
-                       sAe * jnp.ones(shape, jnp.int32))
-            Apair_i = (sAim * jnp.ones(shape, f32),
-                       sAe * jnp.ones(shape, jnp.int32))
-            Bpair_r = (sBrm * jnp.ones(shape, f32),
-                       sBe * jnp.ones(shape, jnp.int32))
-            Bpair_i = (sBim * jnp.ones(shape, f32),
-                       sBe * jnp.ones(shape, jnp.int32))
-            skr, ski = fx.cmul(Apair_r, Apair_i, dzr, dzi)
-            tbr, tbi = fx.cmul(Bpair_r, Bpair_i, dcr, dci)
-            tbr = (tbr[0] * gain, jnp.where(gain == 0.0, fx.E_ZERO, tbr[1]))
-            tbi = (tbi[0] * gain, jnp.where(gain == 0.0, fx.E_ZERO, tbi[1]))
-            ndzr = fx.add(skr, tbr)
-            ndzi = fx.add(ski, tbi)
-            ns_row = jnp.minimum(n + skip, rows - 1)
-            zrow_r = 0.5 * zr2_ref[pl.ds(ns_row, 1), :]
-            zrow_i = 0.5 * zi2_ref[pl.ds(ns_row, 1), :]
-            dzrm = jnp.where(upd, ndzr[0], dzrm)
-            dzre = jnp.where(upd, ndzr[1], dzre)
-            dzim = jnp.where(upd, ndzi[0], dzim)
-            dzie = jnp.where(upd, ndzi[1], dzie)
-            zfr = jnp.where(upd, zrow_r + fx.to_float(ndzr), zfr)
-            zfi = jnp.where(upd, zrow_i + fx.to_float(ndzi), zfi)
-            cnt = cnt + jnp.where(upd, skip, 0)
-            return dzrm, dzre, dzim, dzie, zfr, zfi, cnt, gl, n + skip
-
-        def macro_body(carry):
-            (dzrm, dzre, dzim, dzie, zfr, zfi, cnt, gl), n = carry
-            for _ in range(SKIP_SCANS):
-                (dzrm, dzre, dzim, dzie, zfr, zfi, cnt, gl, n) = try_skip(
-                    dzrm, dzre, dzim, dzie, zfr, zfi, cnt, gl, n)
-            start = jnp.minimum(n, rows - (chunk + 1))
-            br = zr2_ref[pl.ds(start, chunk + 1), :]
-            bi = zi2_ref[pl.ds(start, chunk + 1), :]
-            if glitch:
-                bg = gt_ref[pl.ds(start, chunk + 1), :]
-            hbr = 0.5 * br
-            hbi = 0.5 * bi
-            for i in range(chunk):
-                m = n + i
-                live = _active(zfr, zfi, cnt, gl, m) & (m < n_steps)
-                dzr = (dzrm, dzre)
-                dzi = (dzim, dzie)
-                tr = fx.add(fx.fe(br[i:i + 1, :] + jnp.zeros(shape, f32)),
-                            dzr)
-                t2 = fx.add(fx.fe(bi[i:i + 1, :] + jnp.zeros(shape, f32)),
-                            dzi)
-                pr, pi = fx.cmul(tr, t2, dzr, dzi)
-                ndzr = fx.add(pr, dcr_g)
-                ndzi = fx.add(pi, dci_g)
-                nzfr = hbr[i + 1:i + 2, :] + fx.to_float(ndzr)
-                nzfi = hbi[i + 1:i + 2, :] + fx.to_float(ndzi)
-                d = nzfr * nzfr + nzfi * nzfi
-                esc_now = d > limit_sq
-                if glitch:
-                    gl_now = live & (~esc_now) & (d < bg[i:i + 1, :])
-                else:
-                    gl_now = jnp.zeros(shape, jnp.bool_)
-                # twin semantics: δz freezes per-lane too (cnt == n keys
-                # activity, so a frozen lane's δz must stay put)
-                dzrm = jnp.where(live, ndzr[0], dzrm)
-                dzre = jnp.where(live, ndzr[1], dzre)
-                dzim = jnp.where(live, ndzi[0], dzim)
-                dzie = jnp.where(live, ndzi[1], dzie)
-                zfr = jnp.where(live, nzfr, zfr)
-                zfi = jnp.where(live, nzfi, zfi)
-                cnt = cnt + (live & ~esc_now & ~gl_now)
-                gl = gl | gl_now.astype(jnp.int32)
-            return (dzrm, dzre, dzim, dzie, zfr, zfi, cnt, gl), n + chunk
-
-        def macro_cond(carry):
-            (dzrm, dzre, dzim, dzie, zfr, zfi, cnt, gl), n = carry
-            return ((n < iterations) & (n < n_steps)
-                    & jnp.any(_active(zfr, zfi, cnt, gl, n)))
-
-        (dzrm, dzre, dzim, dzie, zfr, zfi, cnt, gl), _ = jax.lax.while_loop(
-            macro_cond, macro_body,
-            ((dcr[0], dcr[1], dci[0], dci[1], zfr0, zfi0, cnt0, gl0),
-             jnp.int32(0)),
-        )
-        ran_out = ((zfr * zfr + zfi * zfi <= limit_sq)
-                   & (cnt >= n_steps) & (n_steps < iterations))
-        zr_ref[:] = zfr
-        zi_ref[:] = zfi
-        cnt_ref[:] = cnt
-        gl_ref[:] = gl | ran_out.astype(jnp.int32)
-
-    return kernel
-
-
-@functools.partial(
-    jax.jit, static_argnames=("iterations", "height", "width", "julia",
-                              "glitch", "tile_h", "tile_w", "chunk",
-                              "interpret", "bla_offsets", "skip_scans")
-)
-def perturb_pallas_fe_bla(planes, P, n_steps, bla_packed, *,
-                          bla_offsets, iterations: int, height: int,
-                          width: int, julia: bool = False,
-                          glitch: bool = True, tile_h: int = TILE_H,
-                          tile_w: int = TILE_W, chunk: int = PERT_CHUNK_FE,
-                          interpret: bool = False, skip_scans: int = 1):
-    """Extreme-depth fe kernel with per-tile BLA macro-skips — call shape
-    of ``perturb_pallas_fe`` plus the extended-exponent table
-    (``build_table_fe``: device (rows, 8) f32 + static per-level offsets).
-    Resident planes only (callers gate on PLANES_ROWS_MAX)."""
-    assert planes[0].shape[0] <= PLANES_ROWS_MAX + max(CHUNK, PERT_CHUNK)
-    kernel = _build_pert_kernel_fe_bla(iterations, tile_h, tile_w, chunk,
-                                       julia, glitch,
-                                       bla_offsets=bla_offsets,
-                                       bla_min_level=BLA_MIN_LEVEL,
-                                       skip_scans=skip_scans)
-    n_steps = jnp.asarray(n_steps, jnp.int32).reshape(1)
-    grid = (_cdiv(height, tile_h), _cdiv(width, tile_w))
-    outf = jax.ShapeDtypeStruct((height, width), jnp.float32)
-    outi = jax.ShapeDtypeStruct((height, width), jnp.int32)
-    block = lambda: pl.BlockSpec(
-        (tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=(block(), block(), block(), block()),
-        out_shape=(outf, outf, outi, outi),
-        cost_estimate=pl.CostEstimate(
-            flops=90 * iterations * height * width,
-            bytes_accessed=height * width * 16 + iterations * 12 * 128,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(n_steps, P, *planes, bla_packed)
 
 
 def _build_pert_kernel(iterations: int, tile_h: int, tile_w: int, chunk: int):
@@ -2877,6 +2635,27 @@ def _render_perturb_pallas_jit(scene, planes, P, n_steps, *, height: int,
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "julia",
+                                             "power", "algo", "interpret"))
+def _render_perturb_pallas_fast_jit(scene, planes, P, n_steps, *,
+                                    height: int, width: int, julia: bool,
+                                    power: int = 2,
+                                    algo: str = "mandelbrot",
+                                    interpret: bool = False):
+    """p32 fast tier as one fused TPU program: the dist-only δ-orbit kernel
+    (no zfr/zfi freeze selects or outputs — coloring needs only |z|², see
+    ``_build_pert_kernel_v2``) → coloring.  Bit-identical image to the full
+    kernel + ``_color_and_downsample`` (measured and pinned in tests)."""
+    from fractal_tpu.render import _color_and_downsample_dist
+
+    d, cnt = perturb_pallas_v2(
+        planes, P, n_steps, iterations=scene.iterations, height=height,
+        width=width, julia=julia, glitch=False, power=power, algo=algo,
+        dist_only=True, interpret=interpret,
+    )
+    return _color_and_downsample_dist(scene, d, cnt)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "julia",
                                              "glitch"))
 def _render_perturb_fe_pallas_jit(scene, planes, P, n_steps, *, height: int,
                                   width: int, julia: bool, glitch: bool):
@@ -2887,26 +2666,6 @@ def _render_perturb_fe_pallas_jit(scene, planes, P, n_steps, *, height: int,
     zr, zi, cnt, gl = perturb_pallas_fe(
         planes, P, n_steps, iterations=scene.iterations, height=height,
         width=width, julia=julia, glitch=glitch,
-    )
-    img = _color_and_downsample(scene, zr, zi, cnt)
-    return img, jnp.sum(gl, dtype=jnp.int32), zr, zi, cnt, gl
-
-
-@functools.partial(jax.jit, static_argnames=("height", "width", "julia",
-                                             "glitch", "bla_offsets"))
-def _render_perturb_fe_bla_pallas_jit(scene, planes, P, n_steps,
-                                      bla_packed, *, bla_offsets,
-                                      height: int, width: int, julia: bool,
-                                      glitch: bool):
-    """Extreme-depth tier with a useful BLA table (contracting orbits):
-    per-tile macro-skip fe kernel → coloring → glitch count."""
-    from fractal_tpu.render import _color_and_downsample
-
-    zr, zi, cnt, gl = perturb_pallas_fe_bla(
-        planes, P, n_steps, bla_packed, bla_offsets=bla_offsets,
-        iterations=scene.iterations, height=height, width=width,
-        julia=julia, glitch=glitch,
-        interpret=jax.default_backend() == "cpu",
     )
     img = _color_and_downsample(scene, zr, zi, cnt)
     return img, jnp.sum(gl, dtype=jnp.int32), zr, zi, cnt, gl
@@ -2931,28 +2690,17 @@ def render_perturb(scene, fast: bool = False):
         route="")
     # extreme on TPU: the fe Pallas kernel runs the main grid; when the
     # fe BLA table is useful (contracting orbits — dev[1] carries it
-    # exactly when _perturb_setup engaged it) the per-tile macro-skip
-    # variant runs instead, as long as the planes are VMEM-resident
-    # (skip jumps contradict the streaming variant's sequential prefetch;
-    # past the cap the BLA twin keeps the O(skips) behavior)
+    # exactly when _perturb_setup engaged it) the BLA TWIN runs instead
+    # (the else-branch below).  A per-tile macro-skip fe-BLA Pallas kernel
+    # was built in r3 and hardware-validated in r4: bit-equal to the plain
+    # kernel, but measured SLOWER than the twin on its most favorable
+    # (all-interior minibrot 1e40×, every-level-valid table) view —
+    # 60.3 ms vs the twin's 44.7 ms on v5e (per-tile SMEM table scans cost
+    # more than the whole-image gate saves) — so it was deleted rather
+    # than shipped dark (VERDICT r3 #3; tools/validate_fe_bla ran it).
     on_tpu = jax.default_backend() not in ("cpu",)
     fe_accel = _is_extreme(scene) and on_tpu and dev[1] is None
-    fe_bla_accel = (_fe_bla_kernel_on()
-                    and _is_extreme(scene)
-                    and dev[1] is not None
-                    and scene.iterations + max(CHUNK, PERT_CHUNK)
-                    <= PLANES_ROWS_MAX)
-    if fe_bla_accel:
-        planes = _planes_for(scene, orbit, ref_px, w, h, fast)
-        RENDER_STATS["route"] = "fe-bla-kernel"
-        img, n_gl, zr, zi, cnt, gl = _render_perturb_fe_bla_pallas_jit(
-            scene, planes, P, ns, dev[1], bla_offsets=dev[2],
-            height=h, width=w, julia=scene.algo == "julia",
-            glitch=not fast,
-        )
-        if fast:
-            return img
-    elif fe_accel:
+    if fe_accel:
         # the floatexp Pallas kernel runs the main grid (bit-identical to
         # the XLA twin); the sparse fallback paths below stay on the twin
         # (their 1-D batches are tiny)
@@ -2976,12 +2724,11 @@ def render_perturb(scene, fast: bool = False):
                                  if dev[0].shape[0] > PLANES_ROWS_MAX
                                  else "v2-kernel")
         if fast:
-            img, _, _, _, _, _ = _render_perturb_pallas_jit(
+            return _render_perturb_pallas_fast_jit(
                 scene, dev, P, ns, height=h,
-                width=w, julia=scene.algo == "julia", glitch=False,
+                width=w, julia=scene.algo == "julia",
                 power=pw, algo=scene.algo,
             )
-            return img
         img, n_gl, zr, zi, cnt, gl = _render_perturb_pallas_jit(
             scene, dev, P, ns, height=h, width=w,
             julia=scene.algo == "julia", glitch=True,
@@ -3180,19 +2927,7 @@ def render_perturb_band(scene, start_row: int, rows: int,
     start = jnp.float32(start_row)
     on_tpu = jax.default_backend() not in ("cpu",)
     fe_accel = _is_extreme(scene) and on_tpu and dev[1] is None
-    fe_bla_accel = (_fe_bla_kernel_on() and _is_extreme(scene)
-                    and dev[1] is not None
-                    and scene.iterations + max(CHUNK, PERT_CHUNK)
-                    <= PLANES_ROWS_MAX)
-    if fe_bla_accel:
-        planes = _planes_for(scene, orbit, ref_px, w, h, fast)
-        zr, zi, cnt, gl = perturb_pallas_fe_bla(
-            planes, P.at[7].set(start), ns, dev[1], bla_offsets=dev[2],
-            iterations=scene.iterations, height=rows, width=w,
-            julia=scene.algo == "julia", glitch=not fast,
-            interpret=not on_tpu,
-        )
-    elif fe_accel:
+    if fe_accel:
         planes = _planes_for(scene, orbit, ref_px, w, h, fast)
         zr, zi, cnt, gl = perturb_pallas_fe(
             planes, P.at[7].set(start), ns, iterations=scene.iterations,

@@ -81,6 +81,24 @@ def _grid_dtype(precision: str):
 # ---------------------------------------------------------------------------
 
 
+def _color_and_downsample_dist(scene: Scene, dist, cnt):
+    """``_color_and_downsample`` from the squared final distance (the p32
+    dist-only kernel's output) — bit-identical to the zr/zi form."""
+    img_f = coloring.color_escape_result_dist(
+        dist,
+        cnt,
+        iterations=scene.iterations,
+        stable_limit=scene.stable_limit,
+        exposure=scene.exposure,
+        primary_color=scene.primary_color.as_tuple(),
+        secondary_color=scene.secondary_color.as_tuple(),
+        inside=scene.inside,
+        smooth=scene.smooth,
+        as_float=True,
+    )
+    return coloring.downsample_box(img_f, scene.supersample)
+
+
 def _color_and_downsample(scene: Scene, zr, zi, cnt):
     img_f = coloring.color_escape_result(
         zr,

@@ -8,7 +8,6 @@ cannot flip a well-conditioned escape test).
 """
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
@@ -170,107 +169,6 @@ def test_fe_table_deep_levels_and_render_counts_preserved():
                                bla_offsets=bla_offsets)
     np.testing.assert_array_equal(np.asarray(plain[2]), np.asarray(bla[2]))
     np.testing.assert_array_equal(np.asarray(plain[3]), np.asarray(bla[3]))
-
-
-def test_fe_bla_kernel_matches_plain_per_tile_max(monkeypatch):
-    """The per-tile macro-skip fe Pallas kernel (r3): each tile gates its
-    skips on ITS OWN max |δz|², so its skip pattern legitimately differs
-    from the whole-image BLA twin — the correctness oracle is the plain
-    (BLA-off) computation, same as the twin's own contract above.  Counts
-    and glitch flags must match bit-exactly; zr/zi follow the kernels'
-    usual FMA-ulp latitude (cnt/gl are the rendered semantics)."""
-    from fractal_tpu.ops import perturb as pt
-
-    sc = Scene(width=48, height=32, iterations=512,
-               pos_str=(MINIBROT_1E40_X, MINIBROT_1E40_Y),
-               scale=(1e40, 1e40), inside=False)
-    w, h = sc.width, sc.height
-    ref, orbit = pt.resolve_reference(sc, w, h)
-    P = pt._pert_params_fe(sc, ref, w, h)
-    ns = jnp.int32(orbit.n_steps)
-    packed = jnp.asarray(orbit.packed)
-    bla_packed, bla_offsets = pt._bla_dev_for(sc, orbit, ref, w, h, fe=True)
-    planes = pt.orbit_planes(orbit)
-    plain = pt.perturb_whole_jnp(packed, P, ns, iterations=512, height=h,
-                                 width=w, chunk=pt.PERT_CHUNK_CPU,
-                                 extreme=True)
-    kern = pt.perturb_pallas_fe_bla(
-        planes, P, ns, bla_packed, bla_offsets=bla_offsets,
-        iterations=512, height=h, width=w, julia=False, glitch=True,
-        interpret=True, chunk=4)
-    np.testing.assert_array_equal(np.asarray(plain[2]), np.asarray(kern[2]))
-    np.testing.assert_array_equal(np.asarray(plain[3]), np.asarray(kern[3]))
-
-    # routing coverage: FRACTAL_TPU_FE_BLA_KERNEL=1 must swing
-    # render_perturb onto the kernel entry point with the right plumbing
-    # (dev[1]=table, dev[2]=offsets, planes, glitch).  A spy avoids
-    # compiling the full render program (≈20 min of XLA on this 1-core
-    # box); the kernel's numerics are covered by the direct tests above.
-    seen = {}
-
-    def spy(planes_a, P_a, ns_a, bla_a, *, bla_offsets, iterations,
-            height, width, julia, glitch, **kw):
-        seen.update(table_shape=tuple(bla_a.shape),
-                    offsets=bla_offsets, iterations=iterations,
-                    hw=(height, width), julia=julia, glitch=glitch,
-                    n_planes=len(planes_a))
-        raise RuntimeError("spy: routing reached the fe BLA kernel")
-
-    monkeypatch.setenv("FRACTAL_TPU_FE_BLA_KERNEL", "1")
-    monkeypatch.setattr(pt, "perturb_pallas_fe_bla", spy)
-    with pytest.raises(Exception, match="spy: routing"):
-        pt.render_perturb(sc)
-    assert seen["table_shape"] == tuple(np.asarray(bla_packed).shape)
-    assert seen["offsets"] == bla_offsets
-    assert seen["iterations"] == sc.iterations
-    assert seen["hw"] == (sc.height, sc.width)
-    assert seen["julia"] is False and seen["glitch"] is True
-    assert seen["n_planes"] == 3
-
-
-def test_fe_bla_kernel_needle_escape_structure_matches_plain():
-    """Needle view at 300 iters: level-0 (64-step) merges are valid on the
-    early orbit, deeper levels are not (the usefulness gate keys off
-    level >= 2 — see test_fe_bla_useless_on_needle_views), and the view
-    has real escape structure.  The per-tile kernel's counts/glitch flags
-    must equal the plain fe path bit-exactly through mixed skip/step
-    trajectories with escapes and cnt==n freezes."""
-    from fractal_tpu.ops import perturb as pt
-
-    sc = Scene(width=24, height=16, iterations=300,
-               pos_str=("-1.99999999999999999999999999999999999999999999"
-                        "1", "0.0"),
-               scale=(1e44, 1e44))
-    w, h = sc.width, sc.height
-    ref, orbit = pt.resolve_reference(sc, w, h)
-    P = pt._pert_params_fe(sc, ref, w, h)
-    ns = jnp.int32(orbit.n_steps)
-    packed = jnp.asarray(orbit.packed)
-    bla_packed, bla_offsets = pt._bla_dev_for(sc, orbit, ref, w, h, fe=True)
-    planes = pt.orbit_planes(orbit)
-    plain = pt.perturb_whole_jnp(packed, P, ns, iterations=300, height=h,
-                                 width=w, chunk=pt.PERT_CHUNK_CPU,
-                                 extreme=True)
-    kern = pt.perturb_pallas_fe_bla(
-        planes, P, ns, bla_packed, bla_offsets=bla_offsets,
-        iterations=300, height=h, width=w, julia=False, glitch=True,
-        interpret=True, chunk=4)
-    np.testing.assert_array_equal(np.asarray(plain[2]), np.asarray(kern[2]))
-    np.testing.assert_array_equal(np.asarray(plain[3]), np.asarray(kern[3]))
-    assert len(np.unique(np.asarray(kern[2]))) > 3  # real escape structure
-
-    # all-invalid table (radii zeroed): the macro loop can never skip and
-    # the kernel's per-step ops are identical to the plain fe path — ALL
-    # FOUR outputs bit-equal (pure plumbing equality)
-    dead = np.asarray(bla_packed).copy()
-    dead[:, 6] = 0.0
-    kern0 = pt.perturb_pallas_fe_bla(
-        planes, P, ns, jnp.asarray(dead), bla_offsets=bla_offsets,
-        iterations=300, height=h, width=w, julia=False, glitch=True,
-        interpret=True, chunk=4)
-    for name, a, b in zip(("zr", "zi", "cnt", "gl"), plain, kern0):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
-                                      err_msg=name)
 
 
 def test_fe_bla_useless_on_needle_views():

@@ -1194,6 +1194,58 @@ def test_pallas_v2_kernel_burningship_bit_parity():
             np.testing.assert_array_equal(a, b, err_msg=f"kchunk:{name}")
 
 
+def test_pallas_v2_dist_only_matches_full_kernel():
+    """The p32 fast tier's dist-only kernel form (r4: zfr/zfi freeze
+    selects and outputs dropped — the coloring epilogue consumes |z|²
+    alone) must produce the same counts and the same colored image as the
+    full kernel + the zr/zi coloring path, for every δ-recurrence family."""
+    from fractal_tpu.render import _color_and_downsample, \
+        _color_and_downsample_dist
+
+    for sc in (
+        Scene(width=48, height=36, iterations=400,
+              pos=(-0.7436447860, 0.1318252536), scale=(1e6, 1e6),
+              precision="p32", inside=False),
+        Scene(algo="burningship", width=32, height=24, iterations=300,
+              pos=(-2.0, 0.0), scale=(1e16, 1e16), precision="p32"),
+        Scene(algo="julia", power=3, width=32, height=24, iterations=250,
+              julia_set=(0.44304637997136526, 0.558308536476846),
+              pos_str=("61807725121025/211106232532992",
+                       "18130999979/68719476736"),
+              scale=(1e14, 1e14), precision="p32"),
+    ):
+        w, h = sc.width, sc.height
+        ref, orbit = pt.resolve_reference(sc, w, h)
+        P = pt._pert_params(sc, ref, w, h, orbit=orbit)
+        ns = jnp.int32(orbit.n_steps)
+        pw = pt.eff_power(sc.algo, sc.power)
+        planes = pt.orbit_planes(orbit)
+        julia = sc.algo == "julia"
+        zr, zi, cnt, _gl = pt.perturb_pallas_v2(
+            planes, P, ns, iterations=sc.iterations, height=h, width=w,
+            julia=julia, glitch=False, interpret=True, power=pw,
+            algo=sc.algo)
+        d, cnt2 = pt.perturb_pallas_v2(
+            planes, P, ns, iterations=sc.iterations, height=h, width=w,
+            julia=julia, glitch=False, interpret=True, power=pw,
+            algo=sc.algo, dist_only=True)
+        np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt2),
+                                      err_msg=f"{sc.algo}:cnt")
+        img_full = np.asarray(jax.jit(_color_and_downsample)(sc, zr, zi,
+                                                             cnt))
+        img_dist = np.asarray(jax.jit(_color_and_downsample_dist)(sc, d,
+                                                                  cnt2))
+        np.testing.assert_array_equal(img_full, img_dist,
+                                      err_msg=f"{sc.algo}:img")
+        # the fused fast-tier program lands on the same image
+        img_fast = np.asarray(pt._render_perturb_pallas_fast_jit(
+            sc, planes, P, jnp.asarray([orbit.n_steps], jnp.int32)[0],
+            height=h, width=w, julia=julia, power=pw, algo=sc.algo,
+            interpret=True))
+        np.testing.assert_array_equal(img_full, img_fast,
+                                      err_msg=f"{sc.algo}:fused")
+
+
 def test_pallas_fe_kernel_matches_twin_at_1e44():
     """The extreme-depth floatexp Pallas kernel (VERDICT r2 next 3) must be
     bit-identical to the XLA fe twin: same (m, e) arithmetic, same

@@ -36,8 +36,8 @@ run() {  # run <name> <timeout_s> <cmd...>
   tail -n 15 "/tmp/hwq/$name.log" | sed 's/^/   | /'
 }
 
-# 1. BLA fe kernel: decide its fate (flip default or delete — VERDICT r3 #3)
-run validate_fe_bla 1800 python tools/validate_fe_bla.py
+# 1. (done r4) BLA fe kernel validated on hardware and DELETED: bit-equal
+#    but 60.3 ms vs the twin's 44.7 ms on its most favorable view.
 # 2. Driver-grade bench capture: headline + tiers + long tail + compile walls
 run bench 3000 python bench.py --repeats 3
 # 3. p32 op-count floor probe (VERDICT r3 #4): productionize winner or refute
@@ -49,4 +49,4 @@ run bship_parity 1800 python tools/bship_hw_check.py
 
 echo "== queue done $(date -u +%FT%TZ) =="
 echo "Next: update PERF.md ledger rows (driver/session-r4), README numbers,"
-echo "flip _fe_bla_kernel_on per validate_fe_bla.log, commit."
+echo "commit."
