@@ -231,7 +231,7 @@ def _render_stats(scene: Scene) -> dict:
         out["glitch"] = int(ng) if ng is not None else -1  # -1: p32, untracked
         nres = RENDER_STATS.get("n_residual", 0)
         out["residual"] = int(nres) if nres is not None else 0
-        # active kernel route (v2/fe/fe-bla, -stream, xla-twin…) — makes
+        # active kernel route (v2/fe, -stream, xla-twin[-bla]…) — makes
         # hardware validation of the kernel paths observable interactively
         # (VERDICT r3 #8)
         out["route"] = RENDER_STATS.get("route", "")

@@ -235,7 +235,7 @@ def test_status_headers_tier_and_glitch(server):
     assert h["X-Glitch"].isdigit()  # exact tier tracks the glitch count
     # VERDICT r3 #8: active kernel route + last-frame device ms.  On the
     # CPU test backend every perturbation render routes the XLA twin
-    # (possibly with a BLA table); a TPU shows v2/fe/fe-bla[-stream].
+    # (possibly with a BLA table); a TPU shows v2/fe[-stream].
     assert h["X-Route"].startswith("xla-twin")
     assert float(h["X-Device-Ms"]) > 0
     g1 = int(h["X-Gen"])
