@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import functools
 import math
-import os
 from fractions import Fraction
 from typing import NamedTuple, Tuple
 

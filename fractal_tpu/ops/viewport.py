@@ -20,14 +20,25 @@ import jax
 import jax.numpy as jnp
 
 
-def pixel_grid(width: int, height: int, pos, scale, dtype=jnp.float32):
+def pixel_grid(width: int, height: int, pos, scale, dtype=jnp.float32,
+               row0: int = 0, rows: int = None):
     """Return (cr, ci) arrays of shape (height, width): the complex-plane
-    coordinate of each pixel per the reference transform."""
+    coordinate of each pixel per the reference transform.
+
+    ``row0``/``rows`` select a horizontal band of the full grid: the shape
+    becomes (rows, width) and y runs [row0, row0+rows), still normalized
+    by the FULL ``height``.  Row indices are integer-valued in ``dtype``
+    (exact below 2²⁴ f32 / 2⁵³ f64) and the transform is elementwise, so a
+    band is bit-identical to the same slice of the full grid — banded
+    renders (fractal_tpu.tiled) match one-shot renders exactly."""
     pos_re, pos_im = pos
     scale_re, scale_im = scale
+    if rows is None:
+        rows = height
     h = jnp.asarray(float(height), dtype)
-    x = jax.lax.broadcasted_iota(dtype, (height, width), 1)
-    y = jax.lax.broadcasted_iota(dtype, (height, width), 0)
+    x = jax.lax.broadcasted_iota(dtype, (rows, width), 1)
+    y = jax.lax.broadcasted_iota(dtype, (rows, width), 0) + jnp.asarray(
+        float(row0), dtype)
     off_re = (float(width) / float(height)) / 2.0
     cr = (x / h - off_re) / jnp.asarray(scale_re, dtype) + jnp.asarray(pos_re, dtype)
     ci = (y / h - 0.5) / jnp.asarray(scale_im, dtype) + jnp.asarray(pos_im, dtype)

@@ -56,6 +56,8 @@ def mesh_for_devices(devices: int) -> Optional[Mesh]:
     """The ``--devices N`` mesh: None for 1 (the default single-device
     path), all available devices for 0, a clear error past the device
     count.  Shared by every frontend surface (__main__, viewer)."""
+    if devices < 0:
+        raise ValueError(f"--devices {devices}: must be >= 0 (0 = all)")
     if devices == 1:
         return None
     avail = len(jax.devices())

@@ -116,15 +116,18 @@ def _color_and_downsample(scene: Scene, zr, zi, cnt):
     return coloring.downsample_box(img_f, scene.supersample)
 
 
-@functools.partial(jax.jit, static_argnames=("precision",))
-def _render_escape_jit(scene: Scene, precision: str):
+def _escape_jnp_band(scene: Scene, precision: str, start: int, rows: int):
+    """Shared body of the whole-image jnp program and its banded form:
+    pixel_grid's transform is elementwise over integer-valued row indices,
+    so a band is bit-identical to the same slice of the one-shot render."""
     ss = scene.supersample
     h, w = scene.height * ss, scene.width * ss
     # Supersampling subdivides each pixel: the viewport transform divides by
     # height, so using the scaled height keeps the same view window.
     dtype = _grid_dtype(precision)
 
-    cr, ci = viewport.pixel_grid(w, h, scene.pos, scene.scale, dtype=dtype)
+    cr, ci = viewport.pixel_grid(w, h, scene.pos, scene.scale, dtype=dtype,
+                                 row0=start, rows=rows)
     rule = get_rule(scene.algo, scene.power)
     if scene.algo == "julia":
         c_r = jnp.asarray(scene.julia_set[0], dtype)
@@ -135,6 +138,21 @@ def _render_escape_jit(scene: Scene, precision: str):
         # (calc/src/lib.rs:208-212 — note: NOT the z0=0 convention).
         zr, zi, cnt = iterate(cr, ci, cr, ci, scene.iterations, scene.limit, rule)
     return _color_and_downsample(scene, zr, zi, cnt)
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _render_escape_jit(scene: Scene, precision: str):
+    ss = scene.supersample
+    return _escape_jnp_band(scene, precision, 0, scene.height * ss)
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "start", "rows"))
+def _render_band_jnp_jit(scene: Scene, precision: str, start: int,
+                         rows: int):
+    """One band through the jnp program — used by fractal_tpu.tiled for
+    the tiers whose ONE-SHOT render rides the jnp program (f64 always;
+    f32 on CPU), so banded == one-shot bit-exactly there too."""
+    return _escape_jnp_band(scene, precision, start, rows)
 
 
 @functools.partial(jax.jit, static_argnames=("precision", "interpret"), donate_argnums=())

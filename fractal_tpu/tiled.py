@@ -2,14 +2,13 @@
 
 The reference renders one-shot and has no resume (SURVEY.md §5); for
 multi-minute posters a crash costs everything.  Here the image is rendered
-in horizontal bands: each band is an independent kernel launch whose rows
-are addressed through the kernel's exact (stride=1, offset=start_row)
-global-row map, so the banded result is bit-identical to the one-shot
-render.  (Caveat, CPU f32 tier only: bands always run the params-path
-program — the kernel route — while a one-shot f32 render on CPU rides the
-jnp program, whose trace-time viewport constants round differently; on
-TPU both routes are the params program and match.  ds32 and deeper tiers
-match everywhere.)  Completed bands are written to a checkpoint directory
+in horizontal bands: each band runs the SAME program family as the
+one-shot render for its tier (see ``_band_u8``) addressed through an
+exact global-row map — the params program's integer (stride, offset)
+row map for f32-on-TPU/ds32/dd64, the jnp program's elementwise
+``pixel_grid(row0=...)`` band for f64 and f32-on-CPU — so the banded
+result is bit-identical to the one-shot render at every tier on every
+backend.  Completed bands are written to a checkpoint directory
 as they finish; a rerun skips them and assembles the rest.
 
 Escape-time scenes only (the fern's chaos game is a global scatter — no
@@ -36,14 +35,23 @@ from fractal_tpu.config import Scene
 def _band_u8(scene: Scene, start_row: int, rows: int, precision: str,
              use_pallas: bool):
     """Render global rows [start_row, start_row+rows) of the supersampled
-    grid, colored and downsampled — shapes static per band size."""
-    from fractal_tpu.ops.escape_pallas import scene_params
-    from fractal_tpu.render import _render_band_jit
+    grid, colored and downsampled — shapes static per band size.
 
+    Program choice mirrors the one-shot render exactly (render.py::
+    _render_escape), so every band is bit-identical to the same rows of
+    the one-shot image: f64 rides the jnp program always, f32 rides it on
+    CPU (one-shot does); ds32 rides the params program on every backend
+    and dd64 its interpret form (one-shot dd64 is always interpret)."""
+    from fractal_tpu.ops.escape_pallas import scene_params
+    from fractal_tpu.render import _render_band_jit, _render_band_jnp_jit
+
+    if precision == "f64" or (precision == "f32" and not use_pallas):
+        return _render_band_jnp_jit(scene, precision, start_row, rows)
     dtype = jnp.float64 if precision == "dd64" else jnp.float32
     params = scene_params(scene, dtype=dtype)
     params = params.at[15].set(float(start_row))
-    return _render_band_jit(scene, params, precision, not use_pallas, rows)
+    interpret = (not use_pallas) or precision == "dd64"
+    return _render_band_jit(scene, params, precision, interpret, rows)
 
 
 def render_tiled(scene: Scene, band_rows: int = 512,
@@ -109,6 +117,15 @@ def render_tiled(scene: Scene, band_rows: int = 512,
     elif mesh is not None:
         from fractal_tpu.ops.escape_pallas import scene_params
         from fractal_tpu.parallel.sharding import _render_band_sharded_jit
+
+        if precision not in ("f32", "ds32"):
+            # Same no-silent-downgrade contract as the unbanded mesh path
+            # (render_escape_sharded): the sharded kernels are the f32/ds32
+            # Pallas pair — banding must not quietly compute f64/dd64 at f32.
+            raise ValueError(
+                f"sharded rendering supports f32/ds32/perturb, not "
+                f"{precision!r}; use precision='ds32' (f64-grade on TPU) "
+                f"or 'perturb' for deeper zooms")
 
         def band_u8(start, rows):
             dtype = jnp.float64 if precision == "dd64" else jnp.float32

@@ -182,6 +182,20 @@ def test_sharded_rejects_f64_dd64(mesh):
             render_escape_sharded(scene, mesh, precision=prec)
 
 
+def test_mesh_for_devices_validation():
+    """Negative counts must raise, not slice devs[:-n] into a silent
+    wrong-size mesh (r4 review fix); the other contract points hold."""
+    import pytest
+    from fractal_tpu.parallel.sharding import mesh_for_devices
+
+    with pytest.raises(ValueError, match=">= 0"):
+        mesh_for_devices(-2)
+    assert mesh_for_devices(1) is None
+    assert mesh_for_devices(0).shape["rows"] == len(jax.devices())
+    with pytest.raises(ValueError, match="device"):
+        mesh_for_devices(len(jax.devices()) + 1)
+
+
 def test_perturb_sharded_pallas_planes_matches_single_device(mesh):
     """VERDICT r2 weak 2: the sharded deep-zoom path must run the v2 Pallas
     planes kernel, not the XLA twin.  Forced through the Pallas interpreter

@@ -1,8 +1,9 @@
 """Banded checkpoint/resume rendering tests (fractal_tpu.tiled).
 
-Contract: banded output is bit-identical to the one-shot params-path
-render (the band start rides the kernel's exact global-row map), resume
-skips completed bands, and a stale checkpoint directory is rejected.
+Contract: banded output is bit-identical to the one-shot render at every
+tier (each band runs the one-shot program family for its tier, addressed
+through an exact global-row map), resume skips completed bands, and a
+stale checkpoint directory is rejected.
 """
 
 import json
@@ -60,6 +61,58 @@ def test_supersample_band_alignment():
     one = np.asarray(render_u8(scene))
     banded = render_tiled(scene, band_rows=33)  # rounded down to 32 (mult of 2)
     np.testing.assert_array_equal(banded, one)
+
+
+def test_banded_f64_matches_one_shot_bit_exact():
+    """r4 review fix: banded f64 used to run the params program's f32 form
+    (dtype keyed on dd64 only), silently collapsing every pixel's c below
+    the f32 ulp at mid-depth — a uniform wrong image, violating the
+    no-silent-precision rule.  Bands now ride the jnp program
+    (pixel_grid(row0=...) band), elementwise-identical to the one-shot
+    slice, so banded f64 == one-shot f64 bit-exactly."""
+    scene = Scene(width=48, height=32, iterations=3000,
+                  pos=(-0.74364388703715871, 0.13182590420531198),
+                  scale=(1e9, 1e9), precision="f64")
+    one = np.asarray(render_u8(scene))
+    # the view is structured (f32 would collapse it to one flat color)
+    assert len(np.unique(one.reshape(-1, 3), axis=0)) > 8
+    banded = render_tiled(scene, band_rows=8)
+    np.testing.assert_array_equal(banded, one)
+
+
+def test_banded_f32_cpu_matches_one_shot_bit_exact():
+    """On CPU the one-shot f32 render rides the jnp program; bands used to
+    ride the params program whose viewport constants round differently
+    (an old documented caveat).  Bands now pick the same program as the
+    one-shot path per tier, closing it: bit-equality, not closeness."""
+    scene = SCENE.replace(precision="f32")
+    one = np.asarray(render_u8(scene))
+    banded = render_tiled(scene, band_rows=40)
+    np.testing.assert_array_equal(banded, one)
+
+
+def test_banded_dd64_matches_one_shot_bit_exact():
+    scene = Scene(width=24, height=16, iterations=120,
+                  pos=(-0.74364388703715871, 0.13182590420531198),
+                  scale=(1e15, 1e15), precision="dd64")
+    one = np.asarray(render_u8(scene))
+    banded = render_tiled(scene, band_rows=8)
+    np.testing.assert_array_equal(banded, one)
+
+
+def test_banded_mesh_rejects_cpu_only_tiers():
+    """--bands --devices with an f64/dd64 tier must raise the same
+    no-silent-downgrade error as the unbanded mesh path (the sharded
+    kernels are the f32/ds32 Pallas pair) — r4 review fix: this used to
+    silently compute the f64 request at f32 across the mesh."""
+    from fractal_tpu.parallel.sharding import make_mesh
+
+    mesh = make_mesh(2)
+    scene = Scene(width=32, height=24, iterations=100,
+                  pos=(-0.74364388703715871, 0.13182590420531198),
+                  scale=(1e9, 1e9))  # auto → f64 on the CPU test backend
+    with pytest.raises(ValueError, match="sharded rendering supports"):
+        render_tiled(scene, band_rows=8, mesh=mesh)
 
 
 def test_fern_rejected():
