@@ -2874,20 +2874,31 @@ def _color_jit(scene, zr, zi, cnt):
     return _color_and_downsample(scene, zr, zi, cnt)
 
 
+@jax.jit
+def _color_dist_jit(scene, dist, cnt):
+    from fractal_tpu.render import _color_and_downsample_dist
+
+    return _color_and_downsample_dist(scene, dist, cnt)
+
+
 # ---------------------------------------------------------------------------
 # Banded perturbation (persistence-capable; fractal_tpu.tiled)
 # ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "width", "julia",
-                                             "glitch", "power", "algo"))
+                                             "glitch", "power", "algo",
+                                             "dist_only", "interpret"))
 def _perturb_band_pallas_jit(scene, planes, P, n_steps, start, *, rows: int,
                              width: int, julia: bool, glitch: bool,
-                             power: int = 2, algo: str = "mandelbrot"):
+                             power: int = 2, algo: str = "mandelbrot",
+                             dist_only: bool = False,
+                             interpret: bool = False):
     p_local = P.at[7].set(start.astype(jnp.float32))
     return perturb_pallas_v2(
         planes, p_local, n_steps, iterations=scene.iterations, height=rows,
         width=width, julia=julia, glitch=glitch, power=power, algo=algo,
+        dist_only=dist_only, interpret=interpret,
     )
 
 
@@ -2934,6 +2945,17 @@ def render_perturb_band(scene, start_row: int, rows: int,
             glitch=not fast,
         )
     elif on_accel:
+        if fast:
+            # p32 band: the dist-only kernel form, same as the one-shot
+            # fast tier and the sharded bands (bit-identical image; the
+            # coloring epilogue consumes |z|² alone)
+            dist, cnt = _perturb_band_pallas_jit(
+                scene, dev, P, ns, start, rows=rows, width=w,
+                julia=scene.algo == "julia", glitch=False,
+                power=eff_power(scene.algo, scene.power),
+                algo=scene.algo, dist_only=True,
+            )
+            return _color_dist_jit(scene, dist, cnt)
         zr, zi, cnt, gl = _perturb_band_pallas_jit(
             scene, dev, P, ns, start, rows=rows, width=w,
             julia=scene.algo == "julia", glitch=not fast,

@@ -30,15 +30,16 @@ def pixel_grid(width: int, height: int, pos, scale, dtype=jnp.float32,
     by the FULL ``height``.  Row indices are integer-valued in ``dtype``
     (exact below 2²⁴ f32 / 2⁵³ f64) and the transform is elementwise, so a
     band is bit-identical to the same slice of the full grid — banded
-    renders (fractal_tpu.tiled) match one-shot renders exactly."""
+    renders (fractal_tpu.tiled) match one-shot renders exactly.  ``row0``
+    may be a traced scalar (bands share one compiled program)."""
     pos_re, pos_im = pos
     scale_re, scale_im = scale
     if rows is None:
         rows = height
     h = jnp.asarray(float(height), dtype)
     x = jax.lax.broadcasted_iota(dtype, (rows, width), 1)
-    y = jax.lax.broadcasted_iota(dtype, (rows, width), 0) + jnp.asarray(
-        float(row0), dtype)
+    y = (jax.lax.broadcasted_iota(dtype, (rows, width), 0)
+         + jnp.asarray(row0).astype(dtype))
     off_re = (float(width) / float(height)) / 2.0
     cr = (x / h - off_re) / jnp.asarray(scale_re, dtype) + jnp.asarray(pos_re, dtype)
     ci = (y / h - 0.5) / jnp.asarray(scale_im, dtype) + jnp.asarray(pos_im, dtype)

@@ -146,12 +146,14 @@ def _render_escape_jit(scene: Scene, precision: str):
     return _escape_jnp_band(scene, precision, 0, scene.height * ss)
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "start", "rows"))
-def _render_band_jnp_jit(scene: Scene, precision: str, start: int,
+@functools.partial(jax.jit, static_argnames=("precision", "rows"))
+def _render_band_jnp_jit(scene: Scene, precision: str, start,
                          rows: int):
     """One band through the jnp program — used by fractal_tpu.tiled for
     the tiers whose ONE-SHOT render rides the jnp program (f64 always;
-    f32 on CPU), so banded == one-shot bit-exactly there too."""
+    f32 on CPU), so banded == one-shot bit-exactly there too.  ``start``
+    is traced (integer-valued, exact in the grid dtype), so every
+    same-size band shares one compiled program."""
     return _escape_jnp_band(scene, precision, start, rows)
 
 

@@ -2,14 +2,16 @@
 
 The reference renders one-shot and has no resume (SURVEY.md §5); for
 multi-minute posters a crash costs everything.  Here the image is rendered
-in horizontal bands: each band runs the SAME program family as the
-one-shot render for its tier (see ``_band_u8``) addressed through an
-exact global-row map — the params program's integer (stride, offset)
-row map for f32-on-TPU/ds32/dd64, the jnp program's elementwise
-``pixel_grid(row0=...)`` band for f64 and f32-on-CPU — so the banded
-result is bit-identical to the one-shot render at every tier on every
-backend.  Completed bands are written to a checkpoint directory
-as they finish; a rerun skips them and assembles the rest.
+in horizontal bands, each addressed through an exact global-row map —
+the params program's integer (stride, offset) row map for f32/ds32/dd64,
+the jnp program's elementwise ``pixel_grid(row0=...)`` band for f64 —
+so the banded result is bit-identical to the one-shot render at every
+tier, with one caveat: f32 on CPU, where the one-shot render rides the
+jnp program and XLA:CPU's shape-dependent fusion rounding can flip
+~0.05 % of chaotic boundary escape tests between differently-shaped
+programs (see ``_band_u8``; on TPU f32 both routes run the same params
+program and match exactly).  Completed bands are written to a checkpoint
+directory as they finish; a rerun skips them and assembles the rest.
 
 Escape-time scenes only (the fern's chaos game is a global scatter — no
 spatial decomposition to band).  Perturbation-depth scenes band too when
@@ -37,15 +39,22 @@ def _band_u8(scene: Scene, start_row: int, rows: int, precision: str,
     """Render global rows [start_row, start_row+rows) of the supersampled
     grid, colored and downsampled — shapes static per band size.
 
-    Program choice mirrors the one-shot render exactly (render.py::
-    _render_escape), so every band is bit-identical to the same rows of
-    the one-shot image: f64 rides the jnp program always, f32 rides it on
-    CPU (one-shot does); ds32 rides the params program on every backend
-    and dd64 its interpret form (one-shot dd64 is always interpret)."""
+    Program choice mirrors the one-shot render (render.py::_render_escape):
+    f64 rides the jnp program (bit-identical bands — the r4 fix: the
+    params program computed f64 scenes at f32); ds32 rides the params
+    program on every backend and dd64 its interpret form, both
+    bit-identical.  f32 keeps the params program everywhere: on CPU the
+    one-shot f32 render rides the jnp program instead, and XLA:CPU's
+    whole-program fusion rounds the escape loop shape-dependently (FMA
+    contraction), so band programs of any family can flip ~0.05 % of
+    chaotic boundary escape tests vs the one-shot shape — measured, and
+    not fixable short of pinning every mul+add in the hot rules.  On TPU
+    one-shot f32 rides the same params program as the bands and matches
+    bit-exactly."""
     from fractal_tpu.ops.escape_pallas import scene_params
     from fractal_tpu.render import _render_band_jit, _render_band_jnp_jit
 
-    if precision == "f64" or (precision == "f32" and not use_pallas):
+    if precision == "f64":
         return _render_band_jnp_jit(scene, precision, start_row, rows)
     dtype = jnp.float64 if precision == "dd64" else jnp.float32
     params = scene_params(scene, dtype=dtype)
@@ -68,9 +77,13 @@ def render_tiled(scene: Scene, band_rows: int = 512,
     ``mesh``: each band's rows additionally interleave across the device
     mesh (the band's global start composes with the interleave stride
     through the exact integer row map) — banded + sharded renders stay
-    bit-identical to their single-device banded counterparts at every
-    tier, including perturbation depth (shared orbit replicated per
-    device, glitches resolved in global coordinates).
+    bit-identical to the UNBANDED sharded render at every tier, including
+    perturbation depth (shared orbit replicated per device, glitches
+    resolved in global coordinates).  They also match the single-device
+    banded render wherever the mesh and single-device one-shot programs
+    agree (everywhere on TPU; on CPU the f32 mesh rides the params
+    program while single-device f32 rides the jnp program, mirroring
+    their one-shot counterparts — same split as unbanded renders).
     """
     from fractal_tpu.render import resolve_precision
 
@@ -128,8 +141,9 @@ def render_tiled(scene: Scene, band_rows: int = 512,
                 f"or 'perturb' for deeper zooms")
 
         def band_u8(start, rows):
-            dtype = jnp.float64 if precision == "dd64" else jnp.float32
-            params = scene_params(scene, dtype=dtype)
+            # the guard above pins precision to f32/ds32 — the f32 params
+            # block, exactly like the unbanded mesh path
+            params = scene_params(scene)
             params = params.at[15].set(float(start))
             return _render_band_sharded_jit(scene, params, precision,
                                             use_pallas, mesh, rows)

@@ -1246,6 +1246,32 @@ def test_pallas_v2_dist_only_matches_full_kernel():
                                       err_msg=f"{sc.algo}:fused")
 
 
+def test_perturb_band_dist_only_matches_full_kernel_band():
+    """The banded p32 fast tier rides the dist-only kernel form like the
+    one-shot and sharded fast tiers (r4 review): a band's dist-colored
+    image must equal the full kernel band's zr/zi-colored image bit-for-
+    bit (same frozen |z|² argument as the one-shot parity test)."""
+    sc = Scene(width=48, height=36, iterations=400,
+               pos=(-0.7436447860, 0.1318252536), scale=(1e6, 1e6),
+               precision="p32", inside=False)
+    w, h = sc.width, sc.height
+    ref, orbit = pt.resolve_reference(sc, w, h)
+    P = pt._pert_params(sc, ref, w, h, orbit=orbit)
+    ns = jnp.int32(orbit.n_steps)
+    planes = pt.orbit_planes(orbit)
+    start = jnp.float32(8.0)
+    zr, zi, cnt, _gl = pt._perturb_band_pallas_jit(
+        sc, planes, P, ns, start, rows=16, width=w, julia=False,
+        glitch=False, interpret=True)
+    d, cnt2 = pt._perturb_band_pallas_jit(
+        sc, planes, P, ns, start, rows=16, width=w, julia=False,
+        glitch=False, dist_only=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt2))
+    img_full = np.asarray(pt._color_jit(sc, zr, zi, cnt))
+    img_dist = np.asarray(pt._color_dist_jit(sc, d, cnt2))
+    np.testing.assert_array_equal(img_full, img_dist)
+
+
 def test_pallas_fe_kernel_matches_twin_at_1e44():
     """The extreme-depth floatexp Pallas kernel (VERDICT r2 next 3) must be
     bit-identical to the XLA fe twin: same (m, e) arithmetic, same

@@ -1,6 +1,6 @@
 #!/bin/bash
-# One-shot hardware-evidence queue (round 4). Run from the repo root the
-# moment the TPU tunnel answers:  bash tools/hw_queue.sh
+# One-shot hardware-evidence queue (round 4, post-commit refresh). Run from
+# the repo root the moment the TPU tunnel answers:  bash tools/hw_queue.sh
 #
 # Probes the tunnel first, then runs every pending hardware validation in
 # priority order, logging to /tmp/hwq/. Each step is individually bounded
@@ -14,7 +14,9 @@ mkdir -p /tmp/hwq
 echo "== hw_queue $(date -u +%FT%TZ) =="
 
 probe() {
-  timeout 120 python -c "
+  # the tunnel's good-but-slow windows answer a tiny op in ~2 min; a 120s
+  # probe flakes on them, so give it 300s
+  timeout 300 python -c "
 import jax, time
 t0 = time.time()
 x = jax.numpy.ones((64, 64))
@@ -36,17 +38,15 @@ run() {  # run <name> <timeout_s> <cmd...>
   tail -n 15 "/tmp/hwq/$name.log" | sed 's/^/   | /'
 }
 
-# 1. (done r4) BLA fe kernel validated on hardware and DELETED: bit-equal
-#    but 60.3 ms vs the twin's 44.7 ms on its most favorable view.
-# 2. Driver-grade bench capture: headline + tiers + long tail + compile walls
-run bench 3000 python bench.py --repeats 3
-# 3. p32 op-count floor probe (VERDICT r3 #4): productionize winner or refute
-run lean_probe 1800 python tools/lean_probe.py
-# 4. Fern scatter-floor probe (VERDICT r3 #6)
-run fern_scatter 1800 python tools/fern_scatter_probe.py
-# 5. Burning-ship FMA-pin parity on the v5e (the CPU test's hardware twin)
-run bship_parity 1800 python tools/bship_hw_check.py
+# (done r4, evidence/r4/: lean_probe, fern_scatter, bship_parity,
+#  validate_fe_bla — all measured; the fe-BLA kernel was deleted after
+#  losing to the twin 60.3 vs 44.7 ms on its best view.)
+#
+# 1. Fresh driver-grade bench of the COMMITTED state: the dist-only p32
+#    route (expect headline ~151 ms, was 160.65) and the batched fern
+#    scatter (expect fern_100M ~844 ms, was 1082) are now the defaults.
+run bench_fresh 3600 python bench.py --repeats 3
 
 echo "== queue done $(date -u +%FT%TZ) =="
-echo "Next: update PERF.md ledger rows (driver/session-r4), README numbers,"
-echo "commit."
+echo "Next: copy /tmp/hwq/bench_fresh.log into evidence/r4/, update the"
+echo "PERF.md ledger rows that moved (headline p32, fern), commit."

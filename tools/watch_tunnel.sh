@@ -10,7 +10,7 @@ echo $$ > /tmp/hwq/watch.pid
 echo "== watch_tunnel start $(date -u +%FT%TZ) pid=$$ =="
 
 probe() {
-  timeout 150 python -c "
+  timeout 300 python -c "
 import jax, time
 t0 = time.time()
 x = jax.numpy.ones((64, 64))
@@ -24,9 +24,13 @@ while true; do
   if probe; then
     echo "probe #$n OK $(date -u +%T) — launching hw_queue"
     cat /tmp/hwq/probe.log
-    bash tools/hw_queue.sh
-    echo "== watch_tunnel done $(date -u +%FT%TZ) =="
-    exit 0
+    # exit only when the queue actually ran: its own probe can flake on a
+    # marginal tunnel window, and that must not kill the watcher
+    if bash tools/hw_queue.sh; then
+      echo "== watch_tunnel done $(date -u +%FT%TZ) =="
+      exit 0
+    fi
+    echo "hw_queue aborted (marginal window?); watching on"
   fi
   echo "probe #$n failed $(date -u +%T); sleeping 300s"
   sleep 300
