@@ -65,6 +65,36 @@ def _device_preflight(timeout: int = 180, attempts: int = 3,
             % (len(outcomes), attempts, "; ".join(outcomes)))
 
 
+def _last_session_capture(root: str | None = None):
+    """Most recent committed-tree bench JSON (session-grade evidence).
+
+    When the tunneled device is hung at capture time the driver still
+    deserves an auditable record: the newest ``evidence/*/bench_fresh*.log``
+    holds the full JSON line of the last time ``python bench.py`` ran
+    against the committed tree on the real chip.  Returns (relpath, dict)
+    or (None, None)."""
+    import glob
+    import os
+
+    here = root or os.path.dirname(os.path.abspath(__file__))
+    logs = sorted(glob.glob(os.path.join(here, "evidence", "*",
+                                         "bench_fresh*.log")),
+                  key=os.path.getmtime, reverse=True)
+    for path in logs:
+        try:
+            with open(path) as f:
+                lines = [ln for ln in f if ln.startswith('{"metric"')]
+            if not lines:
+                continue
+            data = json.loads(lines[-1])
+            if data.get("value") is None:
+                continue
+            return os.path.relpath(path, here), data
+        except (OSError, json.JSONDecodeError):
+            continue
+    return None, None
+
+
 def headline_scene():
     from fractal_tpu.config import Scene
 
@@ -231,12 +261,27 @@ def main():
     err = _device_preflight()
     if err is not None:
         # one parseable line, fast, instead of an unbounded hang — the
-        # driver records the failure and the next round retries
+        # driver records the failure and the next round retries.  The
+        # last committed-tree capture rides along (clearly labeled as
+        # session-grade) so a hung tunnel doesn't erase the audit trail.
+        details = {"error": err}
+        rel, last = _last_session_capture()
+        if last is not None:
+            details["last_session_capture"] = {
+                "note": "session-grade: most recent `python bench.py` run "
+                        "against the committed tree on the real chip, "
+                        "checked into evidence/ — NOT captured by this "
+                        "driver invocation (device hung; see error)",
+                "evidence_log": rel,
+                "value_ms": last.get("value"),
+                "vs_baseline": last.get("vs_baseline"),
+                "details": last.get("details"),
+            }
         print(json.dumps({
             "metric": "mandelbrot 3000x3000 @1e6x zoom, 4000 max-iter, "
                       "render time (p32 fast tier)",
             "value": None, "unit": "ms", "vs_baseline": None,
-            "details": {"error": err},
+            "details": details,
         }))
         return
 
