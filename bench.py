@@ -7,14 +7,28 @@ its README claims ~1 s for this on an all-core laptop CPU — ~9 Mpixel/s).
 Measured on whatever jax.default_backend() is (the driver runs this on one
 real TPU chip).  Compile excluded (one warmup), p50 of repeated runs.
 
-Every tracked config (BASELINE.json + the long tail) lands in
-the JSON's details.baseline_configs.
+The driver captures only a bounded tail of stdout (observed 2,000 bytes —
+r4's 2,390-byte line clipped the headline out of the machine-readable
+record, VERDICT r4 #1), so the JSON line is kept compact and its length is
+pinned by ``tests/test_bench.py`` at ≤ 1,800 bytes fully populated.
+Field glossary (details): ``mps`` = Mpixels/s, ``cold``/``warm`` = first /
+second call wall ms (trace+compile+run vs no-recompile), ``exact_ms`` =
+f64-grade ds32 tier p50, ``cfg`` = per-config rows (``ms`` p50, ``mps``,
+``cold``, ``warm``, ``prec`` precision route, ``nres`` residual glitched
+pixels — must be 0), ``times`` = headline repeat wall ms.  Config-key map
+vs r4: m4k_ss2=mandel_4k_ss2_smooth, mb3_2k=multibrot_d3_2k,
+dz1e12=deepzoom_3000sq_1e12, bship_2k=burning_ship_2k, fern_100m/fern_10m,
+p1e15=perturb_1080p_1e15, fe1e44=extreme_768x512_1e44,
+bla1e40=minibrot_512x384_1e40_bla, fe1e44_11k=extreme_768x512_1e44_11k_
+stream, jsweep256=julia_sweep_256f_1080p, mp100=100 MP device render
+(10000², device-side checksum fence — no 300 MB host fetch).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import re
 import statistics
 import time
 
@@ -23,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_SECONDS = 1.0  # README.md:9-11: ~1 s on CPU for this render
+LINE_BUDGET = 1800  # driver tail capture is 2,000 B; keep margin
 
 
 def _device_preflight(timeout: int = 180, attempts: int = 3,
@@ -65,6 +80,18 @@ def _device_preflight(timeout: int = 180, attempts: int = 3,
             % (len(outcomes), attempts, "; ".join(outcomes)))
 
 
+def _capture_sort_key(path: str):
+    """Deterministic newest-first ordering for evidence logs: a fresh git
+    clone gives every file the same mtime, so break ties by the evidence
+    round number (evidence/r5 beats evidence/r4 even at r10 vs r9), then
+    the path itself (ADVICE r4)."""
+    import os
+
+    m = re.search(r"evidence[/\\]r(\d+)[/\\]", path)
+    rnd = int(m.group(1)) if m else -1
+    return (os.path.getmtime(path), rnd, path)
+
+
 def _last_session_capture(root: str | None = None):
     """Most recent committed-tree bench JSON (session-grade evidence).
 
@@ -79,7 +106,7 @@ def _last_session_capture(root: str | None = None):
     here = root or os.path.dirname(os.path.abspath(__file__))
     logs = sorted(glob.glob(os.path.join(here, "evidence", "*",
                                          "bench_fresh*.log")),
-                  key=os.path.getmtime, reverse=True)
+                  key=_capture_sort_key, reverse=True)
     for path in logs:
         try:
             with open(path) as f:
@@ -116,7 +143,9 @@ def bench_render(scene, repeats: int = 5, backend: str = "auto"):
     def fence(img):
         # Through the axon tunnel block_until_ready() can return before the
         # execution drains; fetching a device-side reduction to the host is
-        # the reliable fence (1-element transfer, negligible vs the render).
+        # the reliable fence (1-element transfer, negligible vs the render —
+        # this is also what keeps the 100 MP row device-only: the 300 MB
+        # image never crosses the link, just this scalar checksum).
         return float(jnp.sum(img, dtype=jnp.int32)[None][0])
 
     # warmup / compile (render + fence programs) — twice: paths with a
@@ -145,19 +174,41 @@ def bench_render(scene, repeats: int = 5, backend: str = "auto"):
     return statistics.median(times), times, (t_cold, t_warm)
 
 
+def _prec_token(scene):
+    """Short precision-route token for the JSON line ("fe" = floatexp)."""
+    from fractal_tpu.render import resolve_precision
+
+    prec = resolve_precision(scene)
+    if prec == "perturb":
+        from fractal_tpu.ops.perturb import _is_extreme
+
+        if _is_extreme(scene):
+            return "fe"
+    return prec
+
+
 def _bench_config(scene, repeats, backend):
     p50, times, (t_cold, t_warm) = bench_render(scene, repeats, backend)
-    return p50, {
-        "ms": round(p50 * 1e3, 2),
-        "mpixels_per_s": round(scene.width * scene.height / p50 / 1e6, 1),
-        "times_ms": [round(t * 1e3, 1) for t in times],
-        "compile_cold_ms": round(t_cold * 1e3, 1),
-        "compile_warm_ms": round(t_warm * 1e3, 1),
+    stats = {
+        "ms": round(p50 * 1e3, 1),
+        "mps": round(scene.width * scene.height / p50 / 1e6, 1),
+        "cold": int(round(t_cold * 1e3)),
+        "warm": int(round(t_warm * 1e3)),
     }
+    if scene.algo != "fern":
+        stats["prec"] = _prec_token(scene)
+        if stats["prec"] in ("perturb", "fe"):
+            # residual glitched pixels after the exact resolve — the
+            # zero-best-effort contract (VERDICT r4 #2); nonzero is a bug
+            from fractal_tpu.ops.perturb import RENDER_STATS
+
+            stats["nres"] = int(RENDER_STATS.get("n_residual", 0) or 0)
+    return p50, stats
 
 
 def baseline_configs():
-    """BASELINE.json configs 2-5 (the headline is config 1)."""
+    """BASELINE.json configs 2-5 (the headline is config 1).  Key map vs
+    the long r2-r4 names is in the module docstring."""
     from fractal_tpu.config import Scene
 
     return {
@@ -165,15 +216,15 @@ def baseline_configs():
             algo="julia", width=1920, height=1080, iterations=300,
             julia_set=(-0.8, 0.156), scale=(0.4, 0.4), pos=(0.0, 0.0),
         ),
-        "mandel_4k_ss2_smooth": Scene(
+        "m4k_ss2": Scene(
             width=3840, height=2160, iterations=600, supersample=2,
             pos=(-0.743643, 0.131825), scale=(5000.0, 5000.0),
         ),
-        "multibrot_d3_2k": Scene(
+        "mb3_2k": Scene(
             algo="multibrot", power=3, width=2000, height=2000,
             iterations=300, pos=(0.0, 0.0), scale=(0.35, 0.35),
         ),
-        "deepzoom_3000sq_1e12": Scene(
+        "dz1e12": Scene(
             width=3000, height=3000, iterations=4000,
             pos=(-0.74364388703715871, 0.13182590420531198),
             scale=(1e12, 1e12), inside=False,
@@ -189,32 +240,31 @@ _MINIBROT_1E40_Y = "280080281553491226689299320792460275443352487824755806050784
 
 
 def longtail_configs():
-    """Long-tail configs — previously behind --all / stderr-only, now in
-    the driver JSON (VERDICT r2 weak 8)."""
+    """Long-tail configs — in the driver JSON since r3 (VERDICT r2 weak 8)."""
     from fractal_tpu.config import Scene, scene_defaults
 
     return {
-        "burning_ship_2k": Scene(
+        "bship_2k": Scene(
             algo="burningship", width=2000, height=2000, iterations=500,
             pos=(-0.45, -0.5), scale=(0.8, 0.8),
         ),
-        "fern_100M": scene_defaults("fern").replace(
+        "fern_100m": scene_defaults("fern").replace(
             width=2000, height=2000, iterations=100_000_000,
         ),
         # the reference's own default fern workload: 10M iterations at the
         # default 750x500 canvas (/root/reference/calc/src/lib.rs:43-45,
         # src/lib.rs:32-41) — VERDICT r3 #6
-        "fern_10M_default": scene_defaults("fern").replace(
+        "fern_10m": scene_defaults("fern").replace(
             width=750, height=500, iterations=10_000_000,
         ),
-        # beyond the reference's f64 wall: perturbation w/ mpmath orbit
-        "perturb_1080p_1e15": Scene(
+        # beyond the reference's f64 wall: perturbation w/ exact orbit walk
+        "p1e15": Scene(
             width=1920, height=1080, iterations=5000,
             pos=(-0.74364388703715871, 0.13182590420531198),
             scale=(1e15, 1e15), inside=False,
         ),
         # extreme depth (floatexp Pallas kernel, r3): 29 orders past f64
-        "extreme_768x512_1e44": Scene(
+        "fe1e44": Scene(
             width=768, height=512, iterations=2000,
             pos_str=("-1.9999999999999999999999999999999999999999999"
                      "91", "0.0"),
@@ -223,20 +273,64 @@ def longtail_configs():
         # contracting (minibrot) 1e40x view: the extended-exponent BLA
         # table fires at every merge level here (PERF.md r3 — 43.3 ms vs
         # 294.7 plain); the needle view above gets ZERO valid radii
-        "minibrot_512x384_1e40_bla": Scene(
+        "bla1e40": Scene(
             width=512, height=384, iterations=4000,
             pos_str=(_MINIBROT_1E40_X, _MINIBROT_1E40_Y),
             scale=(1e40, 1e40), inside=False,
         ),
         # 11k-iteration budget past PLANES_ROWS_MAX: the HBM-streaming fe
         # kernel (r3 — 70.0 ms vs 1387 ms XLA twin on v5e)
-        "extreme_768x512_1e44_11k_stream": Scene(
+        "fe1e44_11k": Scene(
             width=768, height=512, iterations=11000,
             pos_str=("-1.9999999999999999999999999999999999999999999"
                      "91", "0.0"),
             scale=(1e44, 1e44), inside=False,
         ),
+        # 100 MP capability row, driver-grade (VERDICT r4 #7): rendered and
+        # checksummed on-device — the fence's scalar sum is the only host
+        # transfer (reference claim: src/lib.rs:36-41)
+        "mp100": Scene(
+            width=10000, height=10000, iterations=500, exposure=5.0,
+        ),
     }
+
+
+def assemble_result(*, p50, times, t_cold, t_warm, p50_exact, t_cold_exact,
+                    configs, backend=None):
+    """The driver JSON line as a dict — shared by main() and the
+    length-pinning test so the ≤LINE_BUDGET contract covers the real
+    assembly path."""
+    scene_px = 3000 * 3000
+    return {
+        "metric": "mandelbrot 3000x3000 @1e6x zoom, 4000 max-iter, "
+                  "render time (p32 fast tier)",
+        "value": round(p50 * 1e3, 2),
+        "unit": "ms",
+        "vs_baseline": round(REFERENCE_SECONDS / p50, 2),
+        "details": {
+            "mps": round(scene_px / p50 / 1e6, 1),
+            "backend": backend or jax.default_backend(),
+            "exact_ms": round(p50_exact * 1e3, 1),
+            "times": [round(t * 1e3, 1) for t in times],
+            "cold": int(round(t_cold * 1e3)),
+            "warm": int(round(t_warm * 1e3)),
+            "cold_exact": int(round(t_cold_exact * 1e3)),
+            "cfg": configs,
+        },
+    }
+
+
+def emit(result) -> str:
+    """Serialize + length-guard the one driver line."""
+    import sys
+
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > LINE_BUDGET:
+        print(f"# WARNING: JSON line {len(line)} B exceeds the "
+              f"{LINE_BUDGET} B budget (driver tail capture is 2000 B)",
+              file=sys.stderr)
+    print(line)
+    return line
 
 
 def main():
@@ -251,9 +345,9 @@ def main():
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--all", action="store_true",
                     help="(no-op since r3: the long-tail configs always "
-                         "run and land in details.baseline_configs)")
+                         "run and land in details.cfg)")
     ap.add_argument("--headline-only", action="store_true",
-                    help="skip the BASELINE secondary configs")
+                    help="skip the secondary configs")
     args = ap.parse_args()
 
     import sys
@@ -261,59 +355,52 @@ def main():
     err = _device_preflight()
     if err is not None:
         # one parseable line, fast, instead of an unbounded hang — the
-        # driver records the failure and the next round retries.  The
-        # last committed-tree capture rides along (clearly labeled as
-        # session-grade) so a hung tunnel doesn't erase the audit trail.
-        details = {"error": err}
+        # driver records the failure and the next round retries.  The last
+        # committed-tree capture rides along compactly (headline numbers +
+        # evidence path; the full line lives in the log itself) so a hung
+        # tunnel doesn't erase the audit trail.
+        details = {"error": err[:400]}
         rel, last = _last_session_capture()
         if last is not None:
             details["last_session_capture"] = {
-                "note": "session-grade: most recent `python bench.py` run "
-                        "against the committed tree on the real chip, "
-                        "checked into evidence/ — NOT captured by this "
-                        "driver invocation (device hung; see error)",
-                "evidence_log": rel,
-                "value_ms": last.get("value"),
-                "vs_baseline": last.get("vs_baseline"),
-                "details": last.get("details"),
+                "note": "session-grade, NOT captured by this driver "
+                        "invocation (device hung) — full line in the log",
+                "log": rel,
+                "ms": last.get("value"),
+                "vs": last.get("vs_baseline"),
+                "exact_ms": (last.get("details") or {}).get("exact_ms"),
             }
-        print(json.dumps({
+        emit({
             "metric": "mandelbrot 3000x3000 @1e6x zoom, 4000 max-iter, "
                       "render time (p32 fast tier)",
             "value": None, "unit": "ms", "vs_baseline": None,
             "details": details,
-        }))
+        })
         return
 
     scene = headline_scene()
-    # Fast tier (p32: f32 δ-orbits, >99.9% classification accuracy, boundary
-    # counts carry f32 noise — see PERF.md) is the headline number; the
-    # f64-grade default-ladder (ds32) time rides along for the exact tier.
+    # Fast tier (p32: f32 δ-orbits — >99.9% classification accuracy,
+    # boundary counts carry f32 noise, PERF.md) is the headline number; the
+    # f64-grade default-ladder (ds32) time rides along as exact_ms.
     p50, times, (t_cold, t_warm) = bench_render(
         scene.replace(precision="p32"), args.repeats, args.backend)
     p50_exact, _, (t_cold_exact, _tw) = bench_render(
         scene, max(2, args.repeats // 2), args.backend)
 
-    mpix = scene.width * scene.height / p50 / 1e6
-    from fractal_tpu.render import render_u8, resolve_precision  # noqa: F401
-
     configs = {}
     if not args.headline_only:
-        for name, sc in baseline_configs().items():
+        for name, sc in {**baseline_configs(), **longtail_configs()}.items():
             try:
                 _, stats = _bench_config(sc, max(2, args.repeats // 2),
                                          args.backend)
-                stats["precision"] = resolve_precision(sc)
-                if stats["precision"] == "perturb":
-                    # warm frames ride the per-view caches (orbit, BLA,
-                    # series coefficients, dense glitch fixes — PERF.md);
-                    # a COLD first frame pays the resolve (~2x at 1e12)
-                    stats["note"] = "warm frame (view caches populated)"
                 configs[name] = stats
             except Exception as e:  # keep the harness alive per-config
-                configs[name] = {"error": str(e)[:200]}
+                configs[name] = {"error": str(e)[:120]}
                 print(f"# {name}: FAILED {e}", file=sys.stderr)
-        # BASELINE config 2: 256-frame julia sweep @1080p, one device program
+        # BASELINE config 2: 256-frame julia sweep @1080p, one device
+        # program.  p50 of ≥3 timed repeats with the min/max spread — the
+        # r4 single-shot 0.75 s sample contradicted the driver's own 1.13 s
+        # capture (VERDICT r4 #5); the p50 is canonical now.
         try:
             import numpy as _np
 
@@ -324,66 +411,32 @@ def main():
             scenes = [_S(algo="julia", width=1920, height=1080,
                          iterations=300, julia_set=(float(a), float(b)),
                          pos=(0.0, 0.0), scale=(0.4, 0.4)) for a, b in cs]
-            out = animate.render_sweep(scenes, device_resident=True)
-            float(jnp.sum(out[:1].astype(jnp.int32)))  # warm
             t0 = time.perf_counter()
-            out = animate.render_sweep(
-                [s.replace(exposure=5.0 + 1e-9) for s in scenes],
-                device_resident=True)
-            float(jnp.sum(out.astype(jnp.int32)))
-            dt = time.perf_counter() - t0
-            configs["julia_sweep_256f_1080p"] = {
-                "s": round(dt, 2), "fps": round(256 / dt, 1),
-                "note": "device-resident batch",
+            out = animate.render_sweep(scenes, device_resident=True)
+            float(jnp.sum(out[:1].astype(jnp.int32)))  # warm + compile wall
+            sweep_cold = time.perf_counter() - t0
+            sweep_times = []
+            for i in range(max(3, args.repeats)):
+                t0 = time.perf_counter()
+                out = animate.render_sweep(
+                    [s.replace(exposure=5.0 + 1e-9 * (i + 1))
+                     for s in scenes], device_resident=True)
+                float(jnp.sum(out.astype(jnp.int32)))
+                sweep_times.append(time.perf_counter() - t0)
+            sp50 = statistics.median(sweep_times)
+            configs["jsweep256"] = {
+                "s": round(sp50, 2), "fps": round(256 / sp50, 1),
+                "s_minmax": [round(min(sweep_times), 2),
+                             round(max(sweep_times), 2)],
+                "cold": int(round(sweep_cold * 1e3)),
             }
         except Exception as e:
-            configs["julia_sweep_256f_1080p"] = {"error": str(e)[:200]}
+            configs["jsweep256"] = {"error": str(e)[:120]}
             print(f"# julia_sweep: FAILED {e}", file=sys.stderr)
-        # long-tail configs (burning ship, fern 100M, 1e15, 1e44) — in the
-        # driver JSON since r3 (they were stderr-only behind --all)
-        for name, sc in longtail_configs().items():
-            try:
-                _, stats = _bench_config(sc, max(2, args.repeats // 2),
-                                         args.backend)
-                if sc.algo != "fern":
-                    from fractal_tpu.ops.perturb import _is_extreme
 
-                    prec = resolve_precision(sc)
-                    if prec == "perturb" and _is_extreme(sc):
-                        prec = "floatexp"  # the extreme tier's actual path
-                    stats["precision"] = prec
-                configs[name] = stats
-            except Exception as e:
-                configs[name] = {"error": str(e)[:200]}
-                print(f"# {name}: FAILED {e}", file=sys.stderr)
-
-    result = {
-        "metric": "mandelbrot 3000x3000 @1e6x zoom, 4000 max-iter, "
-                  "render time (p32 fast tier)",
-        "value": round(p50 * 1e3, 2),
-        "unit": "ms",
-        "vs_baseline": round(REFERENCE_SECONDS / p50, 2),
-        "details": {
-            "mpixels_per_s": round(mpix, 1),
-            "backend": jax.default_backend(),
-            "precision": "p32 (f32 delta orbits; interior/escape "
-                         "classification 99.93% vs f64, boundary counts "
-                         "carry f32 trajectory noise — PERF.md)",
-            "exact_tier_ds32_ms": round(p50_exact * 1e3, 2),
-            "all_times_ms": [round(t * 1e3, 1) for t in times],
-            # first-call walls (trace + compile + run; served from the
-            # persistent XLA cache when populated) vs the no-recompile
-            # second call — tracks Mosaic compile regressions (VERDICT r3)
-            "compile_cold_ms": round(t_cold * 1e3, 1),
-            "compile_warm_ms": round(t_warm * 1e3, 1),
-            "compile_cold_exact_ms": round(t_cold_exact * 1e3, 1),
-            "baseline_configs": configs,
-        },
-    }
-    print(json.dumps(result))
-
-    # --all kept for compatibility: the long tail now always runs as part
-    # of the default JSON (details.baseline_configs)
+    emit(assemble_result(
+        p50=p50, times=times, t_cold=t_cold, t_warm=t_warm,
+        p50_exact=p50_exact, t_cold_exact=t_cold_exact, configs=configs))
 
 
 if __name__ == "__main__":
