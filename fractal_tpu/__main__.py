@@ -124,8 +124,10 @@ def _main(argv=None) -> int:
             print(f"{'glitch pixels':>16s}: "
                   f"{'n/a (fast tier)' if ng is None else int(ng)}")
             if nres is not None and int(nres):
-                print(f"{'UNRESOLVED':>16s}: {int(nres)} pixel(s) kept "
-                      f"best-effort values")
+                # only the device-resident warm path can report this; the
+                # cold-frame host resolve finishes every pixel exactly (r5)
+                print(f"{'UNRESOLVED':>16s}: {int(nres)} pixel(s) pending "
+                      f"exact resolve (warm-path transient)")
     if options.trace:
         print(f"trace written to {options.trace}")
 

@@ -131,6 +131,19 @@ def test_json_line_fits_driver_capture():
     assert parsed["details"]["cfg"]["mp100"]["ms"] == 99999.9
 
 
+def test_tracked_deep_scenes_zero_residual():
+    """VERDICT r4 #2 pin: the deep bench scenes (scaled to test size) must
+    report RENDER_STATS['n_residual'] == 0 after a full exact render — no
+    tracked config ships best-effort pixels."""
+    from fractal_tpu.ops.perturb import RENDER_STATS, render_perturb
+
+    scenes = {**bench.baseline_configs(), **bench.longtail_configs()}
+    for name in ("dz1e12", "p1e15"):
+        sc = scenes[name].replace(width=64, height=48, iterations=600)
+        render_perturb(sc)
+        assert int(RENDER_STATS.get("n_residual") or 0) == 0, name
+
+
 def test_config_inventory_stable():
     """The tracked config set: every BASELINE.json config + the long tail
     + the r5 100 MP device row must be present by (short) name."""

@@ -1109,19 +1109,35 @@ def test_multiref_residual_direct_resolve(monkeypatch):
     assert len(walked) == len(set(walked))  # failed medoids never re-picked
 
 
-def test_multiref_residual_surfaced_past_budget(monkeypatch):
-    """Past the direct-resolve budget the resolver must still (a) warn with
-    the count and (b) return it (VERDICT r2 weak 5)."""
+def test_multiref_residual_always_resolved_exactly(monkeypatch):
+    """VERDICT r4 #2: there is NO best-effort path anymore.  Even when the
+    projected direct-resolve wall exceeds the warning threshold (forced to
+    0 here), every residual pixel is finished exactly — the warning names
+    the projection, n_residual is 0, and counts equal the exact twin's."""
     w, h = 24, 16
     scene = Scene(width=w, height=h, iterations=300, pos=(-2.0, 0.0),
                   scale=(1e16, 1e16))
-    _force_all_glitched(monkeypatch)
-    monkeypatch.setattr(pt, "DIRECT_RESOLVE_BUDGET", 0)
-    monkeypatch.setattr(pt, "DIRECT_RESOLVE_MIN", 0)
+    ref, orbit = pt.resolve_reference(scene, w, h)
+    P = pt._pert_params(scene, ref, w, h)
     idx = np.arange(6)
-    with pytest.warns(UserWarning, match="still glitched"):
-        _, _, _, nres = pt._multiref_resolve(scene, idx, w, h)
-    assert nres == idx.size
+    k = 128
+    xs_p = np.full(k, float(w), np.float32)
+    ys_p = np.full(k, float(h), np.float32)
+    xs_p[:6] = (idx % w).astype(np.float32)
+    ys_p[:6] = (idx // w).astype(np.float32)
+    _, _, cnt_t, gl_t = pt._pert_fallback_1d_jit(
+        jnp.asarray(orbit.packed), P, jnp.int32(orbit.n_steps),
+        jnp.asarray(xs_p), jnp.asarray(ys_p), iterations=300, k=k,
+        power=2, algo="mandelbrot", extreme=False)
+    cnt_t = np.asarray(cnt_t).ravel()[:6]
+    assert (np.asarray(gl_t).ravel()[:6] == 0).all()
+
+    _force_all_glitched(monkeypatch)
+    monkeypatch.setattr(pt, "DIRECT_RESOLVE_WARN_S", 0.0)
+    with pytest.warns(UserWarning, match="finished exactly"):
+        _, _, cnt_d, nres = pt._multiref_resolve(scene, idx, w, h)
+    assert nres == 0
+    np.testing.assert_array_equal(cnt_d, cnt_t)
 
 
 # --- v2 Pallas kernel: non-quadratic recurrences (VERDICT r2 next 2) ------
