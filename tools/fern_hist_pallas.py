@@ -103,9 +103,9 @@ def hist_pallas(idx, *, n_bins: int, chunk: int = 2048,
     pad = n_chunks * chunk - n
     if pad:
         idx = jnp.concatenate([idx, jnp.full((pad,), -1, jnp.int32)])
-    slab_bins = min(slab_bins, ((n_bins + LANES - 1) // LANES) * LANES)
+    slab_bins = min(slab_bins, -(-n_bins // (LANES * 8)) * LANES * 8)
     n_slabs = -(-n_bins // slab_bins)
-    rows = slab_bins // LANES + 1  # + dummy row
+    rows = slab_bins // LANES + 8  # + dummy rows (8 keeps sublane alignment)
 
     out = pl.pallas_call(
         functools.partial(_hist_kernel, chunk=chunk, slab_bins=slab_bins),
@@ -116,8 +116,8 @@ def hist_pallas(idx, *, n_bins: int, chunk: int = 2048,
         out_shape=jax.ShapeDtypeStruct((n_slabs * rows, LANES), jnp.int32),
         interpret=interpret,
     )(idx)
-    # strip each slab's dummy row, flatten, cut the bin padding
-    out = out.reshape(n_slabs, rows, LANES)[:, :-1, :]
+    # strip each slab's dummy rows, flatten, cut the bin padding
+    out = out.reshape(n_slabs, rows, LANES)[:, :-8, :]
     return out.reshape(-1)[:n_bins]
 
 
@@ -228,7 +228,7 @@ def main():
     from fractal_tpu.utils.compile_cache import enable as _enable_cache
 
     _enable_cache()
-    err = _device_preflight(timeout=120, attempts=1)
+    err = _device_preflight(timeout=280, attempts=1)
     if err:
         print(json.dumps({"error": err}))
         return

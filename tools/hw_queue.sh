@@ -38,15 +38,23 @@ run() {  # run <name> <timeout_s> <cmd...>
   tail -n 15 "/tmp/hwq/$name.log" | sed 's/^/   | /'
 }
 
-# (done r4, evidence/r4/: lean_probe, fern_scatter, bship_parity,
-#  validate_fe_bla — all measured; the fe-BLA kernel was deleted after
-#  losing to the twin 60.3 vs 44.7 ms on its best view.)
+# Round-5 queue (VERDICT r4 #3 #5 + fresh committed capture):
 #
-# 1. Fresh driver-grade bench of the COMMITTED state: the dist-only p32
-#    route (expect headline ~151 ms, was 160.65) and the batched fern
-#    scatter (expect fern_100M ~844 ms, was 1082) are now the defaults.
+# 1. The real Pallas fern-histogram attempt (r4 #5): serialized SMEM-
+#    streamed kernel vs the production scatter on the same resident
+#    stream, plus the within-batch duplicate fraction (sort+segment-sum
+#    ceiling).
+run fern_hist 1200 python tools/fern_hist_pallas.py --steps 100
+# 2. Compile-wall chunk sweep for the dist-only p32 kernel (r4 #3): true
+#    first-ever Mosaic compile per chunk (no-cache fresh subprocesses) vs
+#    warm runtime on the real headline.  chunk 64 alone is ~5 min cold.
+run compile_wall 2400 python tools/compile_wall_probe.py
+# 3. Fresh driver-grade bench of the COMMITTED state: compact <=1,800 B
+#    line, nres fields (expect 0 everywhere), mp100 device row, julia
+#    sweep p50-of-repeats.
 run bench_fresh 3600 python bench.py --repeats 3
 
 echo "== queue done $(date -u +%FT%TZ) =="
-echo "Next: copy /tmp/hwq/bench_fresh.log into evidence/r4/, update the"
-echo "PERF.md ledger rows that moved (headline p32, fern), commit."
+echo "Next: copy /tmp/hwq/bench_fresh.log into evidence/r5/, update the"
+echo "PERF.md ledger + fern/compile sections from fern_hist/compile_wall,"
+echo "flip PERT_CHUNK or document the tradeoff, commit."
