@@ -40,7 +40,7 @@ REFERENCE_SECONDS = 1.0  # README.md:9-11: ~1 s on CPU for this render
 LINE_BUDGET = 1800  # driver tail capture is 2,000 B; keep margin
 
 
-def _device_preflight(timeout: int = 180, attempts: int = 3,
+def _device_preflight(timeout: int = 300, attempts: int = 3,
                       retry_wait: int = 60) -> str | None:
     """Dispatch one tiny op in a subprocess with a hard timeout.
 

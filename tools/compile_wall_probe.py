@@ -87,7 +87,7 @@ def main():
 
     from bench import _device_preflight
 
-    err = _device_preflight(timeout=280, attempts=1)
+    err = _device_preflight(timeout=560, attempts=1)
     if err:
         print(json.dumps({"error": err}))
         return

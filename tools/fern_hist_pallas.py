@@ -228,7 +228,7 @@ def main():
     from fractal_tpu.utils.compile_cache import enable as _enable_cache
 
     _enable_cache()
-    err = _device_preflight(timeout=280, attempts=1)
+    err = _device_preflight(timeout=560, attempts=1)
     if err:
         print(json.dumps({"error": err}))
         return

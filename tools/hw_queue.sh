@@ -14,9 +14,10 @@ mkdir -p /tmp/hwq
 echo "== hw_queue $(date -u +%FT%TZ) =="
 
 probe() {
-  # the tunnel's good-but-slow windows answer a tiny op in ~2 min; a 120s
-  # probe flakes on them, so give it 300s
-  timeout 300 python -c "
+  # the tunnel's good-but-slow windows answer a tiny op in up to ~4.5 min
+  # (observed 265 s on 2026-08-20); give the probe the same 560 s budget
+  # as the job preflights so a marginal window isn't wasted
+  timeout 560 python -c "
 import jax, time
 t0 = time.time()
 x = jax.numpy.ones((64, 64))
@@ -38,23 +39,21 @@ run() {  # run <name> <timeout_s> <cmd...>
   tail -n 15 "/tmp/hwq/$name.log" | sed 's/^/   | /'
 }
 
-# Round-5 queue (VERDICT r4 #3 #5 + fresh committed capture):
+# Round-5b queue (the 2026-08-20 00:01Z run delivered compile_wall +
+# bench_fresh — evidence/r5/ — but fern_hist lost its window to a 280 s
+# preflight on a slow tunnel; preflights are 560 s now):
 #
 # 1. The real Pallas fern-histogram attempt (r4 #5): serialized SMEM-
 #    streamed kernel vs the production scatter on the same resident
 #    stream, plus the within-batch duplicate fraction (sort+segment-sum
 #    ceiling).
-run fern_hist 1200 python tools/fern_hist_pallas.py --steps 100
-# 2. Compile-wall chunk sweep for the dist-only p32 kernel (r4 #3): true
-#    first-ever Mosaic compile per chunk (no-cache fresh subprocesses) vs
-#    warm runtime on the real headline.  chunk 64 alone is ~5 min cold.
-run compile_wall 2400 python tools/compile_wall_probe.py
-# 3. Fresh driver-grade bench of the COMMITTED state: compact <=1,800 B
-#    line, nres fields (expect 0 everywhere), mp100 device row, julia
-#    sweep p50-of-repeats.
-run bench_fresh 3600 python bench.py --repeats 3
+run fern_hist 2400 python tools/fern_hist_pallas.py --steps 100
+# 2. Extend the r5 chunk sweep upward: warm runtime was still improving
+#    monotonically at the chunk-64 default (150.8 ms) with flat ~11 s
+#    compiles — measure 128/256 for a possible free headline win.
+run compile_wall_ext 1800 python tools/compile_wall_probe.py --chunks 128,256
 
 echo "== queue done $(date -u +%FT%TZ) =="
-echo "Next: copy /tmp/hwq/bench_fresh.log into evidence/r5/, update the"
-echo "PERF.md ledger + fern/compile sections from fern_hist/compile_wall,"
-echo "flip PERT_CHUNK or document the tradeoff, commit."
+echo "Next: copy /tmp/hwq/{fern_hist,compile_wall_ext}.log into"
+echo "evidence/r5/, update PERF.md's fern + compile sections, flip"
+echo "PERT_CHUNK if 128/256 wins >=3% with sane compile, commit."

@@ -10,7 +10,7 @@ echo $$ > /tmp/hwq/watch.pid
 echo "== watch_tunnel start $(date -u +%FT%TZ) pid=$$ =="
 
 probe() {
-  timeout 300 python -c "
+  timeout 560 python -c "
 import jax, time
 t0 = time.time()
 x = jax.numpy.ones((64, 64))
