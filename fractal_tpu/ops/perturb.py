@@ -70,6 +70,17 @@ RENDER_STATS = {"n_glitch": 0, "n_residual": 0, "tier": ""}
 # backend keeps a shallow unroll (XLA:LLVM slow-compile pathology).
 PERT_CHUNK = 64
 PERT_CHUNK_CPU = 16
+# dist-only p32 kernel (the headline fast tier): a deeper static unroll
+# measured strictly faster on v5e with near-flat Mosaic compile cost
+# (chunk 64: 150.8 ms warm / 10.9 s first-ever compile, 128: 144.0 / 13.9 s,
+# 256: 131.1 / 16.0 s — evidence/r5/compile_wall_*.log; within the ≤60 s
+# first-ever-compile budget, VERDICT r4 #3).  Resident planes only: the
+# HBM-streaming variant keeps PERT_CHUNK (its double-buffered VMEM scratch
+# scales with chunk, and 256 is unmeasured there).
+PERT_CHUNK_DIST = 256
+# orbit tables are padded past the budget by the largest chunk ANY backend
+# uses, so every chunked loader's clamped block read stays in bounds
+ORBIT_PAD = max(CHUNK, PERT_CHUNK, PERT_CHUNK_DIST)
 
 # Zooms this deep need more than f64 for the host reference orbit
 # (pixel spacing < ~1e-13 ⇒ orbit must resolve finer structure).
@@ -243,7 +254,7 @@ def reference_orbit(scene, ref_px: Tuple[int, int], width: int,
     n_steps = n  # δ-steps usable: steps 0..n-1 consume Z_n and Z_{n+1}
     # static shape: the loop index may overrun by < chunk, and block loads
     # clamp to rows - chunk, so pad by the largest chunk any backend uses.
-    rows = iters + max(CHUNK, PERT_CHUNK)
+    rows = iters + ORBIT_PAD
     packed = np.zeros((rows, 8), np.float32)
     z32 = zs[: n + 1].astype(np.float32)
     packed[:n, 0] = z32[:n, 0]
@@ -682,6 +693,13 @@ def _perturb_tile_bla(xx, yy, P, n_steps, iterations: int, chunk: int,
 
 SERIES_TOL = 1e-7
 SERIES_MIN_SKIP = 2 * PERT_CHUNK  # below this the plumbing isn't worth it
+# The δ-orbit loops START at the series skip by chunk index (k0 = n_skip //
+# chunk), so the skip MUST be a multiple of every chunk any backend/route
+# uses — a misaligned skip re-steps δz from a rounded-down chunk base with
+# mismatched orbit rows (caught on hardware when PERT_CHUNK_DIST landed:
+# every pixel's count shifted).  All chunks are powers of two, so the max
+# is their least common multiple.
+SERIES_ALIGN = max(PERT_CHUNK, PERT_CHUNK_CPU, PERT_CHUNK_DIST)
 
 
 def series_skip(z, n_limit: int, dc_max: float, julia: bool,
@@ -735,9 +753,9 @@ def _series_for(scene, orbit, ref_px, width, height, dc_max):
     # the last term keeps the chunked loaders' clamped block reads exact
     # (load_block starts at min(n, rows - chunk))
     n_limit = min(orbit.n_steps, scene.iterations,
-                  orbit.packed.shape[0] - PERT_CHUNK)
+                  orbit.packed.shape[0] - ORBIT_PAD)
     n, abc = series_skip(orbit.packed[:, :2], max(n_limit, 0), dc_max,
-                         scene.algo == "julia", align=PERT_CHUNK,
+                         scene.algo == "julia", align=SERIES_ALIGN,
                          esc_radius=float(scene.limit))
     if n < SERIES_MIN_SKIP:
         n, abc = 0, None
@@ -1448,7 +1466,7 @@ def _build_pert_kernel_v2(iterations: int, tile_h: int, tile_w: int,
 def perturb_pallas_v2(planes, P, n_steps, *, iterations: int, height: int,
                       width: int, julia: bool = False, glitch: bool = True,
                       tile_h: int = TILE_H, tile_w: int = TILE_W,
-                      chunk: int = PERT_CHUNK, interpret: bool = False,
+                      chunk: int = None, interpret: bool = False,
                       power: int = 2, algo: str = "mandelbrot",
                       stream: bool = None, dist_only: bool = False):
     """Production TPU δ-orbit kernel (see ``_build_pert_kernel_v2``).
@@ -1468,6 +1486,17 @@ def perturb_pallas_v2(planes, P, n_steps, *, iterations: int, height: int,
     with the resident variant)."""
     if stream is None:
         stream = planes[0].shape[0] > PLANES_ROWS_MAX
+    if chunk is None:
+        # chunk = early-exit granularity AND static unroll depth; values
+        # are freeze-masked so every chunk renders bit-identically (pinned
+        # by the dist-vs-full parity tests).  The dist-only resident form
+        # defaults deeper per the measured r5 sweep (see PERT_CHUNK_DIST).
+        # Interpreter runs (CPU tests) keep the shallow chunk: the Pallas
+        # interpreter pays per-op costs on the 4×-bigger unrolled body and
+        # the deep unroll only exists to help the Mosaic/TPU schedule.
+        chunk = (PERT_CHUNK_DIST
+                 if (dist_only and not stream and not interpret)
+                 else PERT_CHUNK)
     kernel = _build_pert_kernel_v2(iterations, tile_h, tile_w, chunk,
                                    julia, glitch, power=power, algo=algo,
                                    stream=stream, dist_only=dist_only)
@@ -1959,7 +1988,7 @@ def _sliced_orbit(orbit: RefOrbit, iterations: int) -> RefOrbit:
     the ran-out flag exactly as the original would.  Memoized per
     (orbit, budget) so the clipped table keeps a stable identity for the
     device-array caches (``_planes_for``/``_packed_for`` key by id)."""
-    rows = iterations + max(CHUNK, PERT_CHUNK)
+    rows = iterations + ORBIT_PAD
     if orbit.packed.shape[0] == rows:
         return orbit
     key = (id(orbit.packed), rows)

@@ -1003,7 +1003,7 @@ def test_sliced_orbit_pads_short_tables():
     packed rows than the current budget's static shape; _sliced_orbit must
     zero-pad so every pack in _refs_device_pack stacks to one shape
     (advisor r2 medium: np.stack used to raise ValueError)."""
-    pad = max(pt.CHUNK, pt.PERT_CHUNK)
+    pad = pt.ORBIT_PAD
     short = pt.RefOrbit(np.ones((100 + pad, 8), np.float32), 40, (0, 0))
     out = pt._sliced_orbit(short, 300)
     assert out.packed.shape == (300 + pad, 8)
@@ -1033,7 +1033,7 @@ def test_cross_budget_candidate_pack_no_crash():
     if not cands:  # cache evicted by other tests: nothing to pack
         pytest.skip("no cached candidates survived")
     packed = pt._refs_device_pack(sc2, cands, w, h, on_accel=False)
-    rows = 300 + max(pt.CHUNK, pt.PERT_CHUNK)
+    rows = 300 + pt.ORBIT_PAD
     assert packed[0].shape[1:] == (rows, 8)
 
 
